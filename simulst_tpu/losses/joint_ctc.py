@@ -1,0 +1,77 @@
+"""Joint label-smoothed CE + CTC criterion.
+
+Parity with the reference's `joint_ctc_criterion`
+(/root/reference/codebase/criterion/joint_ctc_criterion.py:63-214):
+  loss = LS-CE(decoder logits) + ctc_factor * LS-CTC(encoder ctc logits)
+where the CTC term is itself label-smoothed as
+  (1 - eps) * ctc_nll + (eps / V) * sum_t -sum_v lprobs[t, v]
+over valid encoder frames (note: eps/V, not eps/(V-1), matching :167-169).
+
+CTC targets drop both PAD and EOS (:146-150).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from simulst_tpu.losses.label_smoothed_ce import ce_loss, log_softmax
+from simulst_tpu.ops.ctc import ctc_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class JointCTCConfig:
+    label_smoothing: float = 0.1
+    ctc_factor: float = 1.0
+    zero_infinity: bool = True
+    padding_idx: int = 1
+    eos_idx: int = 2
+    blank_idx: int = 0
+    sentence_avg: bool = False
+
+
+def ctc_targets(target, cfg: JointCTCConfig):
+    """Replace EOS with PAD and compact is unnecessary: CTC ignores content
+    past target_length; we compute lengths excluding pad+eos and shift-remove
+    eos by masking it to pad (eos is always last, so lengths suffice)."""
+    keep = (target != cfg.padding_idx) & (target != cfg.eos_idx)
+    lengths = keep.sum(axis=-1)
+    # eos might sit mid-sequence never in practice (it is final); masking it to
+    # pad keeps the packed prefix property.
+    tgt = jnp.where(keep, target, cfg.padding_idx)
+    return tgt, lengths
+
+
+def smoothed_ctc_loss(ctc_logits, encoder_lengths, target, cfg: JointCTCConfig):
+    lprobs = log_softmax(ctc_logits)                    # (B, T, V)
+    tgt, tgt_lens = ctc_targets(target, cfg)
+    nll = ctc_loss(lprobs, encoder_lengths, tgt, tgt_lens,
+                   blank=cfg.blank_idx, zero_infinity=cfg.zero_infinity)
+    valid = jnp.arange(lprobs.shape[1])[None, :] < encoder_lengths[:, None]
+    smooth = jnp.where(valid, -lprobs.sum(-1), 0.0).sum()
+    eps_i = cfg.label_smoothing / lprobs.shape[-1]
+    return (1.0 - cfg.label_smoothing) * nll + eps_i * smooth, nll
+
+
+def joint_ctc_loss(logits, extra, target, cfg: JointCTCConfig):
+    """logits: (B, T, V) decoder output; extra: dict with ctc_logits (or None)
+    and encoder_lengths; target: (B, T) with EOS, right-padded.
+
+    Returns (loss, metrics dict). Sum reduction; caller divides by ntokens.
+    """
+    loss, nll = ce_loss(logits, target, cfg.label_smoothing, cfg.padding_idx)
+    metrics = {"nll_loss": nll}
+    if extra.get("ctc_logits") is not None and cfg.ctc_factor != 0.0:
+        closs, cnll = smoothed_ctc_loss(extra["ctc_logits"],
+                                        extra["encoder_lengths"], target, cfg)
+        loss = loss + cfg.ctc_factor * closs
+        metrics["ctc_loss"] = closs
+        # blank rate of the greedy CTC path (reference :92-105)
+        pred = extra["ctc_logits"].argmax(-1)
+        metrics["blank_rate"] = (pred == cfg.blank_idx).mean(axis=-1).sum()
+    ntokens = (target != cfg.padding_idx).sum()
+    nsentences = target.shape[0]
+    sample_size = nsentences if cfg.sentence_avg else ntokens
+    metrics.update(loss=loss, ntokens=ntokens, nsentences=nsentences,
+                   sample_size=sample_size)
+    return loss, metrics

@@ -1,0 +1,134 @@
+"""Multi-head attention with static-shape incremental KV caches.
+
+Functional re-design of fairseq's MultiheadAttention for the decoder stack.
+The incremental state is a fixed-capacity (B, H, Tmax, hd) buffer plus a
+scalar fill counter; appending writes at index `length`, and the reference's
+"prune last KV on READ" rollback (/root/reference/codebase/models/mma_model.py:34-54)
+becomes a counter decrement — no re-allocation, fully jittable.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simulst_tpu.nn.core import dropout, linear, linear_init, neg_inf
+
+
+def mha_init(key, embed_dim: int, num_heads: int, kdim: Optional[int] = None,
+             vdim: Optional[int] = None, dtype=jnp.float32):
+    """fairseq MultiheadAttention init: xavier_uniform with gain 1/sqrt(2) on
+    q/k/v when q,k,v dims match, plain xavier otherwise; out_proj xavier with
+    zero bias."""
+    kdim = kdim or embed_dim
+    vdim = vdim or embed_dim
+    qkv_same = kdim == embed_dim and vdim == embed_dim
+    gain = 1 / math.sqrt(2) if qkv_same else 1.0
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    p = {
+        "q_proj": linear_init(kq, embed_dim, embed_dim, init="xavier", gain=gain, dtype=dtype),
+        "k_proj": linear_init(kk, kdim, embed_dim, init="xavier", gain=gain, dtype=dtype),
+        "v_proj": linear_init(kv, vdim, embed_dim, init="xavier", gain=gain, dtype=dtype),
+        "out_proj": linear_init(ko, embed_dim, embed_dim, init="xavier", gain=1.0, dtype=dtype),
+    }
+    p["out_proj"]["bias"] = jnp.zeros_like(p["out_proj"]["bias"])
+    return p
+
+
+def _split_heads(x, num_heads: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def attend(q, k, v, *, bias=None, key_valid=None, dropout_rate: float = 0.0,
+           rng=None, deterministic: bool = True):
+    """Core scaled-dot-product attention.
+
+    q: (B, H, Tq, hd); k, v: (B, H, Tk, hd)
+    bias: optional additive mask broadcastable to (B, H, Tq, Tk) — use
+          neg_inf for blocked positions.
+    key_valid: optional (B, Tk) bool, True for attendable keys.
+    Softmax in fp32 (parity with the reference's fp32 softmax).
+    """
+    hd = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k)
+    scores = scores.astype(jnp.float32)
+    ni = neg_inf(q.dtype)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if key_valid is not None:
+        scores = jnp.where(key_valid[:, None, None, :], scores, ni)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = dropout(rng, probs, dropout_rate, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out, probs
+
+
+def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
+                causal: bool = False, attn_bias=None,
+                dropout_rate: float = 0.0, rng=None, deterministic: bool = True):
+    """Full-sequence attention. query: (B, Tq, D); key/value: (B, Tk, D')."""
+    q = _split_heads(linear(p["q_proj"], query), num_heads)
+    k = _split_heads(linear(p["k_proj"], key), num_heads)
+    v = _split_heads(linear(p["v_proj"], value), num_heads)
+    bias = attn_bias
+    if causal:
+        tq, tk = q.shape[2], k.shape[2]
+        cb = jnp.where(jnp.arange(tk)[None, :] > jnp.arange(tq)[:, None],
+                       neg_inf(q.dtype), 0.0)
+        bias = cb if bias is None else bias + cb
+    out, probs = attend(q, k, v, bias=bias, key_valid=key_valid,
+                        dropout_rate=dropout_rate, rng=rng, deterministic=deterministic)
+    return linear(p["out_proj"], _merge_heads(out)), probs
+
+
+class KVCache(NamedTuple):
+    """Fixed-capacity incremental KV cache."""
+    k: jnp.ndarray        # (B, H, Tmax, hd)
+    v: jnp.ndarray        # (B, H, Tmax, hd)
+    length: jnp.ndarray   # () int32 — number of valid entries
+
+
+def kv_cache_init(batch: int, num_heads: int, max_len: int, head_dim: int,
+                  dtype=jnp.float32) -> KVCache:
+    shape = (batch, num_heads, max_len, head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+def kv_cache_append(cache: KVCache, k_new, v_new) -> KVCache:
+    """Append one step: k_new/v_new (B, H, 1, hd)."""
+    idx = cache.length
+    k = jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype), (0, 0, idx, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype), (0, 0, idx, 0))
+    return KVCache(k=k, v=v, length=idx + 1)
+
+
+def kv_cache_rollback(cache: KVCache, n: int = 1) -> KVCache:
+    """Discard the last n appended entries (the reference pops the KV tensor;
+    here validity is the counter, so this is O(1))."""
+    return cache._replace(length=jnp.maximum(cache.length - n, 0))
+
+
+def mha_step(p, cache: KVCache, query_step, num_heads: int,
+             *, rng=None, dropout_rate: float = 0.0, deterministic: bool = True
+             ) -> Tuple[jnp.ndarray, KVCache]:
+    """Incremental self-attention for ONE new step. query_step: (B, 1, D)."""
+    q = _split_heads(linear(p["q_proj"], query_step), num_heads)
+    k_new = _split_heads(linear(p["k_proj"], query_step), num_heads)
+    v_new = _split_heads(linear(p["v_proj"], query_step), num_heads)
+    cache = kv_cache_append(cache, k_new, v_new)
+    tmax = cache.k.shape[2]
+    valid = (jnp.arange(tmax) < cache.length)[None, :]          # (1, Tmax)
+    valid = jnp.broadcast_to(valid, (query_step.shape[0], tmax))
+    out, _ = attend(q, cache.k.astype(q.dtype), cache.v.astype(q.dtype),
+                    key_valid=valid, dropout_rate=dropout_rate, rng=rng,
+                    deterministic=deterministic)
+    return linear(p["out_proj"], _merge_heads(out)), cache

@@ -1,0 +1,429 @@
+"""Emformer: block-processing streaming transformer encoder, TPU-native.
+
+Re-designs the reference's vendored torchaudio Emformer
+(/root/reference/codebase/models/torchaudio_models/emformer.py) for JAX/XLA:
+
+* Training: one batched attention over [rc_blocks; utterance; summary] queries
+  and [mems; rc_blocks; utterance] keys with a statically-precomputed
+  block-diagonal mask (reference :700-793), all in a single fused XLA program.
+* Streaming: per-layer state is FIXED-SHAPE ring buffers
+  (mems (B,M,D), left-context K/V (B,L,D)) plus a validity counter, so one
+  chunk step == one compiled XLA call.  The reference dynamically slices
+  buffers by past_length (:404-429); here validity is expressed by key
+  masking, which is numerically identical under softmax.
+
+Semantics parity notes:
+  * summary elements = ceil-mode AvgPool over the pre-attention-LayerNormed
+    utterance (reference :472, :497-498); the initial memory bank for layer 0
+    is pooled from the RAW utterance (:828-831).
+  * memory outputs pass tanh (tanh_on_mem) or clamp to [-10, 10] (:214-217).
+  * at streaming time the summary query row must not attend the memory bank
+    (:299-302).
+  * layer state stores this layer's INPUT mems (:510), while the attention's
+    summary OUTPUT becomes the next layer's input mems (:885-892).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu.nn.core import (ACTIVATIONS, dropout, layer_norm,
+                                 layer_norm_init, linear, linear_init, neg_inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class EmformerConfig:
+    input_dim: int = 256
+    num_heads: int = 4
+    ffn_dim: int = 2048
+    num_layers: int = 12
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "gelu"
+    left_context: int = 32     # post-subsample frames (128 / stride 4)
+    right_context: int = 8     # 32 / 4
+    segment: int = 16          # 64 / 4
+    max_memory: int = 5
+    tanh_on_mem: bool = True
+    normalize_before: bool = True
+
+    @property
+    def use_mem(self) -> bool:
+        return self.max_memory > 0
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _attention_init(key, dim: int, gain: Optional[float], dtype):
+    kkv, kq, ko = jax.random.split(key, 3)
+    init = "xavier" if gain else "torch"
+    g = gain or 1.0
+    return {
+        # fused key/value projection, torch layout (in, 2*in)
+        "emb_to_key_value": linear_init(kkv, dim, 2 * dim, init=init, gain=g, dtype=dtype),
+        "emb_to_query": linear_init(kq, dim, dim, init=init, gain=g, dtype=dtype),
+        "out_proj": linear_init(ko, dim, dim, init="torch", dtype=dtype),
+    }
+
+
+def emformer_layer_init(key, cfg: EmformerConfig, gain: Optional[float], dtype=jnp.float32):
+    ka, k1, k2 = jax.random.split(key, 3)
+    init = "xavier" if gain else "torch"
+    g = gain or 1.0
+    return {
+        "attention": _attention_init(ka, cfg.input_dim, gain, dtype),
+        "ln_input": layer_norm_init(cfg.input_dim, dtype),
+        "pos_ff": {
+            "ln": layer_norm_init(cfg.input_dim, dtype),
+            "fc1": linear_init(k1, cfg.input_dim, cfg.ffn_dim, init=init, gain=g, dtype=dtype),
+            "fc2": linear_init(k2, cfg.ffn_dim, cfg.input_dim, init=init, gain=g, dtype=dtype),
+        },
+    }
+
+
+def emformer_init(key, cfg: EmformerConfig, dtype=jnp.float32):
+    """Depthwise weight-init gains 1/sqrt(layer+1) (reference :51-59)."""
+    keys = jax.random.split(key, cfg.num_layers)
+    layers = [emformer_layer_init(k, cfg, 1.0 / math.sqrt(i + 1), dtype)
+              for i, k in enumerate(keys)]
+    return {"layers": layers, "final_ln": layer_norm_init(cfg.input_dim, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _num_segs(utterance_len: int, segment: int) -> int:
+    return -(-utterance_len // segment)
+
+
+def _segment_means(x, segment: int):
+    """Ceil-mode AvgPool1d over time. x: (B, U, D) -> (B, ceil(U/seg), D).
+    Divisors are the actual window sizes (torch ceil_mode semantics)."""
+    b, u, d = x.shape
+    n = _num_segs(u, segment)
+    pad = n * segment - u
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    sums = xp.reshape(b, n, segment, d).sum(axis=2)
+    sizes = np.minimum(segment, u - np.arange(n) * segment).astype(np.float32)
+    return sums / jnp.asarray(sizes)[None, :, None].astype(x.dtype)
+
+
+def _mem_transform(x, cfg: EmformerConfig):
+    return jnp.tanh(x) if cfg.tanh_on_mem else jnp.clip(x, -10, 10)
+
+
+def _pos_ff(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
+    act = ACTIVATIONS[cfg.activation]
+    y = layer_norm(p["ln"], x)
+    y = act(linear(p["fc1"], y))
+    y = dropout(rng_a, y, cfg.activation_dropout, deterministic)
+    y = linear(p["fc2"], y)
+    y = dropout(rng_b, y, cfg.dropout, deterministic)
+    return y
+
+
+def _attend(q, k, v, num_heads: int, bias, key_valid, *, rate=0.0, rng=None,
+            deterministic=True):
+    """q: (B,Tq,D), k/v: (B,Tk,D); bias (Tq,Tk) additive fp32 or None."""
+    b, tq, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, tq, num_heads, hd).transpose(0, 2, 1, 3) * (hd ** -0.5)
+    kh = k.reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if bias is not None:
+        scores = scores + bias[None, None]
+    if key_valid is not None:
+        scores = jnp.where(key_valid[:, None, None, :], scores, neg_inf(q.dtype))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = dropout(rng, probs, rate, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+
+
+# ---------------------------------------------------------------------------
+# training attention mask (static, cached per geometry)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _training_mask_np(U: int, seg: int, lc: int, rc: int, max_mem: int,
+                      use_mem: bool) -> np.ndarray:
+    """Additive-free boolean mask, True = BLOCKED, shape (Tq, Tk).
+    Query rows: [rc_blocks(n*rc); utterance(U); summary(n if use_mem)].
+    Key cols:   [mems(n-1 if use_mem); rc_blocks(n*rc); utterance(U)].
+    Port of reference :711-793 (allowed-columns per segment)."""
+    n = _num_segs(U, seg)
+    mem_len = (n - 1) if use_mem else 0
+    rc_len = n * rc
+    tq = rc_len + U + (n if use_mem else 0)
+    tk = mem_len + rc_len + U
+    allowed = np.zeros((tq, tk), dtype=bool)
+    for i in range(n):
+        mem_lo, mem_hi = max(i - max_mem, 0), i
+        rc_lo, rc_hi = i * rc, i * rc + rc
+        utt_lo, utt_hi = max(i * seg - lc, 0), min((i + 1) * seg, U)
+        row_blocks = [slice(i * rc, (i + 1) * rc),
+                      slice(rc_len + i * seg, rc_len + min((i + 1) * seg, U))]
+        for rows in row_blocks:
+            if use_mem:
+                allowed[rows, mem_lo:mem_hi] = True
+            allowed[rows, mem_len + rc_lo:mem_len + rc_hi] = True
+            allowed[rows, mem_len + rc_len + utt_lo:mem_len + rc_len + utt_hi] = True
+        if use_mem:
+            srow = rc_len + U + i
+            allowed[srow, mem_len + rc_lo:mem_len + rc_hi] = True
+            allowed[srow, mem_len + rc_len + utt_lo:mem_len + rc_len + utt_hi] = True
+    return ~allowed
+
+
+@functools.lru_cache(maxsize=64)
+def _rc_gather_indices(U: int, seg: int, rc: int) -> np.ndarray:
+    """Indices into the (U+rc)-long input that gather the per-segment
+    right-context blocks (reference :700-709)."""
+    n = _num_segs(U, seg)
+    starts = [(i + 1) * seg for i in range(n - 1)] + [U]
+    return np.concatenate([np.arange(s, s + rc) for s in starts]).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# training forward
+# ---------------------------------------------------------------------------
+
+def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
+                   mask_blocked, rngs, deterministic):
+    """One Emformer layer, training path. Returns (utt_out, rc_out, next_mems)."""
+    b, U, d = utterance.shape
+    rc_len = rc_blocks.shape[1]
+    raw = jnp.concatenate([rc_blocks, utterance], axis=1)
+    ln = layer_norm(p["ln_input"], raw) if cfg.normalize_before else raw
+    rc_ln, utt_ln = ln[:, :rc_len], ln[:, rc_len:]
+
+    if cfg.use_mem:
+        summary = _segment_means(utt_ln, cfg.segment)          # (B, n, D)
+    else:
+        summary = utt_ln[:, :0]
+    query_in = jnp.concatenate([rc_ln, utt_ln, summary], axis=1)
+    kv_in = jnp.concatenate([mems, rc_ln, utt_ln], axis=1)
+
+    ap = p["attention"]
+    q = linear(ap["emb_to_query"], query_in)
+    kv = linear(ap["emb_to_key_value"], kv_in)
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    mem_len = mems.shape[1]
+    # key validity: [mems | rc] always valid, utterance valid up to lengths
+    utt_valid = jnp.arange(U)[None, :] < lengths[:, None]
+    key_valid = jnp.concatenate(
+        [jnp.ones((b, mem_len + rc_len), bool), utt_valid], axis=1)
+    bias = jnp.where(mask_blocked, neg_inf(q.dtype), 0.0).astype(jnp.float32)
+
+    out = _attend(q, k, v, cfg.num_heads, bias, key_valid,
+                  rate=cfg.attention_dropout, rng=next(rngs),
+                  deterministic=deterministic)
+    out = linear(ap["out_proj"], out)
+
+    rc_utt_out = out[:, :rc_len + U]
+    n = _num_segs(U, cfg.segment)
+    if cfg.use_mem:
+        next_mems = _mem_transform(out[:, rc_len + U:], cfg)[:, :n - 1]
+    else:
+        next_mems = mems
+
+    result = dropout(next(rngs), rc_utt_out, cfg.dropout, deterministic) + raw
+    result = _pos_ff(p["pos_ff"], cfg, result, next(rngs), next(rngs),
+                     deterministic) + result
+    if not cfg.normalize_before:
+        result = layer_norm(p["ln_input"], result)
+    return result[:, rc_len:], result[:, :rc_len], next_mems
+
+
+def _rng_stream(rng):
+    while True:
+        if rng is None:
+            yield None
+        else:
+            rng, sub = jax.random.split(rng)
+            yield sub
+
+
+def emformer_forward(params, cfg: EmformerConfig, x, lengths, *, rng=None,
+                     deterministic=True):
+    """Training / offline forward.
+
+    x: (B, U + right_context, D) — utterance right-padded with rc frames.
+    lengths: (B,) valid utterance frames.
+    Returns (B, U, D) encoded utterance and per-layer outputs list.
+    """
+    rngs = _rng_stream(rng)
+    U = x.shape[1] - cfg.right_context
+    utterance = x[:, :U]
+    idx = jnp.asarray(_rc_gather_indices(U, cfg.segment, cfg.right_context))
+    rc_blocks = jnp.take(x, idx, axis=1)
+    mask = jnp.asarray(_training_mask_np(U, cfg.segment, cfg.left_context,
+                                         cfg.right_context, cfg.max_memory,
+                                         cfg.use_mem))
+    if cfg.use_mem:
+        n = _num_segs(U, cfg.segment)
+        mems = _segment_means(utterance, cfg.segment)[:, :n - 1]
+    else:
+        mems = utterance[:, :0]
+
+    out = utterance
+    states = []
+    for layer in params["layers"]:
+        out, rc_blocks, mems = _layer_forward(
+            layer, cfg, out, rc_blocks, mems, lengths, mask, rngs, deterministic)
+        states.append(out)
+    if cfg.normalize_before:
+        out = layer_norm(params["final_ln"], out)
+    return out, states
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+class EmformerLayerState(NamedTuple):
+    mems: jnp.ndarray   # (B, M, D) — valid entries at the END of the buffer
+    lc_k: jnp.ndarray   # (B, L, D) — ditto
+    lc_v: jnp.ndarray   # (B, L, D)
+
+
+class EmformerState(NamedTuple):
+    layers: Tuple[EmformerLayerState, ...]
+    past_length: jnp.ndarray  # (B,) int32
+
+
+def emformer_init_state(cfg: EmformerConfig, batch: int, dtype=jnp.float32
+                        ) -> EmformerState:
+    d = cfg.input_dim
+    mk = lambda n: jnp.zeros((batch, n, d), dtype)
+    layers = tuple(
+        EmformerLayerState(mems=mk(cfg.max_memory), lc_k=mk(cfg.left_context),
+                           lc_v=mk(cfg.left_context))
+        for _ in range(cfg.num_layers))
+    return EmformerState(layers=layers,
+                         past_length=jnp.zeros((batch,), jnp.int32))
+
+
+def _shift_append(buf, new, valid_new):
+    """buf: (B, N, D) valid-at-end; new: (B, S, D) with first `valid_new`
+    entries valid. Returns last-N of the true stream [buf_valid, new_valid].
+
+    Implemented as concat + per-batch dynamic gather (rows [u, u+N))."""
+    b, n_buf, d = buf.shape
+    full = jnp.concatenate([buf, new], axis=1)  # (B, N+S, D)
+    rows = valid_new[:, None] + jnp.arange(n_buf)[None, :]       # (B, N)
+    return jnp.take_along_axis(full, rows[:, :, None], axis=1)
+
+
+def _layer_step(p, cfg: EmformerConfig, lstate: EmformerLayerState, utterance,
+                rc, in_mems, utt_valid, past_length):
+    """One streaming chunk through one layer.
+
+    utterance: (B, S, D) with first utt_valid frames valid; rc: (B, R, D);
+    in_mems: (B, 1, D) this layer's input memory element.
+    Returns (utt_out, rc_out, summary_out_mems, new_layer_state).
+    """
+    b, S, d = utterance.shape
+    R = rc.shape[1]
+    M, L = cfg.max_memory, cfg.left_context
+
+    raw = jnp.concatenate([rc, utterance], axis=1)
+    ln = layer_norm(p["ln_input"], raw) if cfg.normalize_before else raw
+    rc_ln, utt_ln = ln[:, :R], ln[:, R:]
+
+    if cfg.use_mem:
+        uv = jnp.arange(S)[None, :] < utt_valid[:, None]
+        denom = jnp.maximum(utt_valid, 1).astype(utt_ln.dtype)[:, None]
+        summary = (utt_ln * uv[:, :, None]).sum(axis=1, keepdims=True) / denom[:, :, None]
+    else:
+        summary = utt_ln[:, :0]
+    ns = summary.shape[1]
+
+    ap = p["attention"]
+    q = linear(ap["emb_to_query"], jnp.concatenate([rc_ln, utt_ln, summary], axis=1))
+    kv = linear(ap["emb_to_key_value"],
+                jnp.concatenate([lstate.mems, rc_ln, utt_ln], axis=1))
+    k, v = jnp.split(kv, 2, axis=-1)
+    k_mems, k_rc, k_utt = k[:, :M], k[:, M:M + R], k[:, M + R:]
+    v_mems, v_rc, v_utt = v[:, :M], v[:, M:M + R], v[:, M + R:]
+
+    k_full = jnp.concatenate([k_mems, k_rc, lstate.lc_k, k_utt], axis=1)
+    v_full = jnp.concatenate([v_mems, v_rc, lstate.lc_v, v_utt], axis=1)
+
+    # validity: mems last vm, rc all, lc last vl, utt first utt_valid
+    vm = jnp.minimum(M, -(-past_length // cfg.segment))     # ceil(past/seg)
+    vl = jnp.minimum(L, past_length)
+    mem_ok = jnp.arange(M)[None, :] >= (M - vm)[:, None]
+    lc_ok = jnp.arange(L)[None, :] >= (L - vl)[:, None]
+    utt_ok = jnp.arange(S)[None, :] < utt_valid[:, None]
+    key_valid = jnp.concatenate(
+        [mem_ok, jnp.ones((b, R), bool), lc_ok, utt_ok], axis=1)
+
+    # summary query row must not see the memory bank (reference :299-302)
+    tq, tk = R + S + ns, M + R + L + S
+    bias = np.zeros((tq, tk), np.float32)
+    if ns:
+        bias[tq - 1, :M] = neg_inf(q.dtype)
+    out = _attend(q, k_full, v_full, cfg.num_heads, jnp.asarray(bias), key_valid)
+    out = linear(ap["out_proj"], out)
+
+    rc_utt_out = out[:, :R + S]
+    mems_out = _mem_transform(out[:, R + S:], cfg) if cfg.use_mem else out[:, :0]
+
+    result = rc_utt_out + raw
+    result = _pos_ff(p["pos_ff"], cfg, result, None, None, True) + result
+    if not cfg.normalize_before:
+        result = layer_norm(p["ln_input"], result)
+
+    new_state = EmformerLayerState(
+        mems=_shift_append(lstate.mems, in_mems,
+                           jnp.ones_like(utt_valid)) if cfg.use_mem else lstate.mems,
+        lc_k=_shift_append(lstate.lc_k, k_utt, utt_valid),
+        lc_v=_shift_append(lstate.lc_v, v_utt, utt_valid),
+    )
+    return result[:, R:], result[:, :R], mems_out, new_state
+
+
+def emformer_step(params, cfg: EmformerConfig, state: EmformerState, x,
+                  utt_valid) -> Tuple[jnp.ndarray, jnp.ndarray, EmformerState]:
+    """One streaming chunk.
+
+    x: (B, segment + right_context, D) arranged [utterance | rc]; the
+    utterance slot's first `utt_valid` frames are real, the rest must be
+    zeros (only reached on the final flush).  rc carries lookahead frames
+    (zeros on flush, matching the reference's zero right-pad,
+    s2t_emformer.py:217-218).
+    Returns (utt_out (B,S,D), out_valid (B,), new_state).
+    """
+    S = cfg.segment
+    utterance, rc = x[:, :S], x[:, S:]
+    if cfg.use_mem:
+        uv = jnp.arange(S)[None, :] < utt_valid[:, None]
+        denom = jnp.maximum(utt_valid, 1).astype(x.dtype)[:, None, None]
+        mems = (utterance * uv[:, :, None]).sum(axis=1, keepdims=True) / denom
+    else:
+        mems = utterance[:, :0]
+
+    out = utterance
+    new_layers = []
+    for layer, lstate in zip(params["layers"], state.layers):
+        out, rc, mems, nls = _layer_step(layer, cfg, lstate, out, rc, mems,
+                                         utt_valid, state.past_length)
+        new_layers.append(nls)
+    if cfg.normalize_before:
+        out = layer_norm(params["final_ln"], out)
+    new_state = EmformerState(layers=tuple(new_layers),
+                              past_length=state.past_length + utt_valid)
+    return out, utt_valid, new_state

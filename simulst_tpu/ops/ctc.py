@@ -1,0 +1,150 @@
+"""CTC loss and Viterbi best-alignment, device-native.
+
+Replaces two native components of the reference:
+  * torch.nn.functional.ctc_loss (cuDNN) used by joint_ctc/cif criteria
+    (/root/reference/codebase/criterion/joint_ctc_criterion.py:153-162)
+  * the best_alignment CUDA kernel + host-side python backtrace
+    (/root/reference/codebase/criterion/best_alignment/best_alignment.cu:63-202,
+     __init__.py:93-99)
+
+Both are log-space dynamic programs over the 2L+1 augmented CTC states,
+expressed as `lax.scan` over time with the (B, 2L+1) state vector updated in
+parallel on the VPU — no host round-trips (the reference's backtrace runs a
+python loop on CPU; here it is a reverse scan on device).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30
+
+
+def _ctc_labels(targets, blank: int):
+    """targets: (B, L) -> augmented labels (B, 2L+1): [blank, y1, blank, ...]."""
+    b, l = targets.shape
+    s = 2 * l + 1
+    labels = jnp.full((b, s), blank, targets.dtype)
+    return labels.at[:, 1::2].set(targets)
+
+
+def _gather_lp(log_probs_t, labels):
+    """log_probs_t: (B, V); labels: (B, S) -> (B, S)."""
+    return jnp.take_along_axis(log_probs_t, labels, axis=1)
+
+
+def ctc_loss(log_probs, input_lengths, targets, target_lengths, blank: int = 0,
+             zero_infinity: bool = True):
+    """Sum-reduced CTC negative log likelihood (torch F.ctc_loss parity).
+
+    log_probs: (B, T, V) log-softmaxed; targets: (B, L) right-padded.
+    """
+    b, t, v = log_probs.shape
+    labels = _ctc_labels(targets, blank)                       # (B, S)
+    s = labels.shape[1]
+    # transition allowed from s-2: label[s] != blank and label[s] != label[s-2]
+    lab_shift2 = jnp.pad(labels, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    can_skip = (labels != blank) & (labels != lab_shift2)      # (B, S)
+
+    lp0 = _gather_lp(log_probs[:, 0].astype(jnp.float32), labels)
+    alpha0 = jnp.full((b, s), NEG)
+    alpha0 = alpha0.at[:, 0].set(lp0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(target_lengths > 0, lp0[:, 1], NEG))
+
+    def step(alpha, inp):
+        lp_t, t_idx = inp
+        em = _gather_lp(lp_t.astype(jnp.float32), labels)
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.where(can_skip, a2, NEG)
+        new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+        # frames beyond input length carry alpha unchanged
+        live = (t_idx < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        return new, None
+
+    xs = (jnp.moveaxis(log_probs, 0, 1)[1:], jnp.arange(1, t))
+    alpha, _ = jax.lax.scan(step, alpha0, xs)
+
+    end = 2 * target_lengths                                   # final blank state
+    a_last = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(target_lengths > 0, a_prev, NEG)
+    nll = -jnp.logaddexp(a_last, a_prev)
+    if zero_infinity:
+        nll = jnp.where(nll > -NEG / 2, 0.0, nll)
+        nll = jnp.where(jnp.isfinite(nll), nll, 0.0)
+    return nll.sum()
+
+
+def best_alignment(log_probs, input_lengths, targets, target_lengths,
+                   blank: int = 0) -> jnp.ndarray:
+    """CTC Viterbi forced alignment.
+
+    Returns (B, T) int32 of augmented-state indices (even = blank, odd s ->
+    target[(s-1)//2]), matching the reference kernel's contract
+    (best_alignment/__init__.py:25-111).  Frames at t >= input_length repeat
+    the final state (callers mask them).
+    """
+    b, t, v = log_probs.shape
+    labels = _ctc_labels(targets, blank)
+    s = labels.shape[1]
+    lab_shift2 = jnp.pad(labels, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    can_skip = (labels != blank) & (labels != lab_shift2)
+
+    lp0 = _gather_lp(log_probs[:, 0].astype(jnp.float32), labels)
+    alpha0 = jnp.full((b, s), NEG)
+    alpha0 = alpha0.at[:, 0].set(lp0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(target_lengths > 0, lp0[:, 1], NEG))
+
+    def fwd(alpha, inp):
+        lp_t, t_idx = inp
+        em = _gather_lp(lp_t.astype(jnp.float32), labels)
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.where(can_skip, a2, NEG)
+        stacked = jnp.stack([alpha, a1, a2], axis=0)           # (3, B, S)
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int32)  # (B, S)
+        best = jnp.max(stacked, axis=0)
+        new = em + best
+        live = (t_idx < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        choice = jnp.where(live, choice, 0)
+        return new, choice
+
+    xs = (jnp.moveaxis(log_probs, 0, 1)[1:], jnp.arange(1, t))
+    alpha, choices = jax.lax.scan(fwd, alpha0, xs)             # choices: (T-1, B, S)
+    choices = jnp.concatenate(
+        [jnp.zeros((1, b, s), jnp.int32), choices], axis=0)    # (T, B, S)
+
+    # pick best end state among {2L, 2L-1}
+    end = 2 * target_lengths
+    a_last = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(jnp.where(
+        (target_lengths > 0)[:, None], alpha, NEG), jnp.maximum(end - 1, 0)[:, None],
+        axis=1)[:, 0]
+    start_state = jnp.where(a_last >= a_prev, end, jnp.maximum(end - 1, 0))
+
+    # reverse scan backtrace (device-side; reference does this on host)
+    def bwd(state, inp):
+        choice_t, t_idx = inp
+        # at frame t: the state at t is `state`; move to t-1 via the choice
+        active = t_idx < input_lengths
+        ch = jnp.take_along_axis(choice_t, state[:, None], axis=1)[:, 0]
+        prev_state = jnp.where(active, state - ch, state)
+        return prev_state, state
+
+    xs_rev = (choices[::-1], jnp.arange(t)[::-1])
+    _, states_rev = jax.lax.scan(bwd, start_state, xs_rev)
+    states = states_rev[::-1]                                   # (T, B)
+    return jnp.moveaxis(states, 0, 1)                           # (B, T)
+
+
+def alignment_to_labels(states, targets, blank: int = 0):
+    """Translate augmented-state indices to label ids (reference
+    __init__.py:103-111)."""
+    labels = _ctc_labels(targets, blank)
+    return jnp.take_along_axis(labels, states, axis=1)

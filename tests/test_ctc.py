@@ -1,0 +1,102 @@
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simulst_tpu.ops import ctc as ctc_ops
+
+
+def _rand_case(key, B, T, V, L):
+    kl, kt, ki, kj = jax.random.split(key, 4)
+    logits = jax.random.normal(kl, (B, T, V))
+    lprobs = jax.nn.log_softmax(logits, -1)
+    targets = jax.random.randint(kt, (B, L), 1, V)  # avoid blank=0
+    in_lens = jax.random.randint(ki, (B,), max(2 * L, 1), T + 1)
+    tgt_lens = jax.random.randint(kj, (B,), 1, L + 1)
+    return lprobs, targets, in_lens, tgt_lens
+
+
+def test_ctc_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    B, T, V, L = 3, 12, 7, 4
+    lprobs, targets, in_lens, tgt_lens = _rand_case(jax.random.PRNGKey(0), B, T, V, L)
+    ours = ctc_ops.ctc_loss(lprobs, in_lens, targets, tgt_lens, blank=0)
+
+    lp_t = torch.tensor(np.asarray(lprobs)).transpose(0, 1)  # (T, B, V)
+    tl = torch.tensor(np.asarray(tgt_lens))
+    flat = torch.cat([torch.tensor(np.asarray(targets))[i, :tl[i]] for i in range(B)])
+    ref = F.ctc_loss(lp_t, flat, torch.tensor(np.asarray(in_lens)), tl,
+                     blank=0, reduction="sum", zero_infinity=True)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+
+def test_ctc_loss_impossible_zeroed():
+    # target longer than input -> inf -> zeroed (zero_infinity)
+    lprobs = jax.nn.log_softmax(jnp.zeros((1, 3, 5)), -1)
+    loss = ctc_ops.ctc_loss(lprobs, jnp.array([3]), jnp.array([[1, 2, 3, 4]]),
+                            jnp.array([4]), blank=0)
+    assert float(loss) == 0.0
+
+
+def _brute_force_best_alignment(lprobs, target, blank):
+    """Enumerate all monotonic augmented-state paths; return best path."""
+    T = lprobs.shape[0]
+    L = len(target)
+    S = 2 * L + 1
+    labels = [blank if s % 2 == 0 else target[(s - 1) // 2] for s in range(S)]
+
+    def can_skip(s):
+        return labels[s] != blank and (s < 2 or labels[s] != labels[s - 2])
+
+    best = (-np.inf, None)
+    # path = sequence of states, start at 0 or 1, end at S-1 or S-2
+    def rec(t, s, lp, path):
+        nonlocal best
+        lp = lp + lprobs[t, labels[s]]
+        if t == T - 1:
+            if s in (S - 1, S - 2):
+                if lp > best[0]:
+                    best = (lp, path + [s])
+            return
+        for ns in (s, s + 1, s + 2):
+            if ns >= S:
+                continue
+            if ns == s + 2 and not can_skip(ns):
+                continue
+            rec(t + 1, ns, lp, path + [s])
+    for s0 in (0, 1):
+        rec(0, s0, 0.0, [])
+    return best
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_best_alignment_matches_brute_force(seed):
+    T, V, L = 6, 5, 2
+    key = jax.random.PRNGKey(seed)
+    lprobs = jax.nn.log_softmax(jax.random.normal(key, (1, T, V)), -1)
+    target = np.array([[1, 3]])
+    states = ctc_ops.best_alignment(lprobs, jnp.array([T]), jnp.asarray(target),
+                                    jnp.array([L]), blank=0)
+    score, path = _brute_force_best_alignment(np.asarray(lprobs)[0], target[0], 0)
+    assert path is not None
+    np.testing.assert_array_equal(np.asarray(states)[0], np.array(path))
+
+
+def test_best_alignment_respects_lengths():
+    T, V = 8, 5
+    key = jax.random.PRNGKey(3)
+    lprobs = jax.nn.log_softmax(jax.random.normal(key, (2, T, V)), -1)
+    targets = jnp.array([[1, 3], [2, 2]])
+    in_lens = jnp.array([8, 5])
+    tgt_lens = jnp.array([2, 2])
+    states = np.asarray(ctc_ops.best_alignment(lprobs, in_lens, targets, tgt_lens))
+    # valid prefix must be monotonic, start at state 0 or 1, end at 2L or 2L-1
+    for b, il, tl in [(0, 8, 2), (1, 5, 2)]:
+        seq = states[b, :il]
+        assert seq[0] in (0, 1)
+        assert seq[-1] in (2 * tl, 2 * tl - 1)
+        assert ((seq[1:] - seq[:-1]) >= 0).all()
+        assert ((seq[1:] - seq[:-1]) <= 2).all()
