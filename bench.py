@@ -1,0 +1,86 @@
+"""Benchmark: per-chunk streaming encoder+decoder step latency on one chip.
+
+The reference publishes no throughput numbers (BASELINE.md); the north star
+adds per-chunk streaming step latency / RTF as the perf axis.  This measures
+the full production-geometry model (s2t_emformer_s: 12-layer / 256-dim
+Emformer encoder + 6-layer decoder) doing one SimulEval READ step (640ms of
+audio -> incremental encode -> one decoder WRITE step), jitted to a single
+XLA call each.
+
+Output: one JSON line; vs_baseline = real-time factor (latency / 640ms
+chunk duration; < 1.0 means faster than real time, lower is better).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from simulst_tpu.models import s2t_emformer as s2t
+    from simulst_tpu.nn import transformer as tfm
+
+    cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=False)
+    model = s2t.S2TEmformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    # streaming geometry (reference agents/default_agent.py:364-376):
+    # steady chunk = segment_length(64 pre-stride frames) * 10ms = 640ms
+    chunk_frames = cfg.segment_length
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, chunk_frames, 80))
+
+    enc_step = s2t.make_encoder_stepper(params["encoder"], cfg)
+    state = s2t.encoder_init_state(params["encoder"], cfg, 1)
+    # warm the carry with a first (seg+rc)-sized chunk
+    first = jax.random.normal(jax.random.PRNGKey(2),
+                              (1, cfg.segment_length + cfg.right_context, 80))
+    out, state = enc_step(state, first)
+
+    # fixed-capacity encoder buffer + decoder state for the WRITE step
+    S_MAX = 1024
+    enc_buf = jnp.zeros((1, S_MAX, cfg.embed_dim))
+    enc_buf = jax.lax.dynamic_update_slice(enc_buf, out.encoder_out, (0, 0, 0))
+    src_len = out.encoder_out.shape[1]
+    dstate = tfm.decoder_init_state(cfg.decoder, 1, 256)
+
+    dec_step = jax.jit(lambda p, st, tok, buf, n: tfm.decoder_step(
+        p, cfg.decoder, st, tok, buf,
+        jnp.arange(S_MAX)[None, :] < n))
+
+    tok = jnp.array([cfg.eos_idx], jnp.int32)
+
+    def one_read_write(state, dstate, enc_buf, src_len):
+        out, state = enc_step(state, feats)
+        enc_buf = jax.lax.dynamic_update_slice(
+            enc_buf, out.encoder_out, (0, src_len, 0))
+        src_len = src_len + out.encoder_out.shape[1]
+        logits, dstate = dec_step(params["decoder"], dstate, tok, enc_buf,
+                                  jnp.array([[src_len]]))
+        return state, dstate, enc_buf, src_len, logits
+
+    # warmup / compile
+    for _ in range(3):
+        state_w, dstate_w, enc_w, sl_w, lg = one_read_write(
+            state, dstate, enc_buf, src_len)
+        jax.block_until_ready(lg)
+
+    n_iter = 30
+    t0 = time.perf_counter()
+    st, ds, eb, sl = state, dstate, enc_buf, src_len
+    for _ in range(n_iter):
+        st, ds, eb, sl, lg = one_read_write(st, ds, eb, sl)
+    jax.block_until_ready(lg)
+    dt = (time.perf_counter() - t0) / n_iter * 1000.0
+
+    chunk_ms = cfg.segment_length * 10.0  # 10ms frame shift
+    print(json.dumps({
+        "metric": "streaming_read_write_step_latency",
+        "value": round(dt, 3),
+        "unit": "ms",
+        "vs_baseline": round(dt / chunk_ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Offline generation CLI — the eval/generate.py replacement.
+
+Batch beam/greedy decoding with S-/T-/H-/D- line output (fairseq-generate
+format, parsed downstream by the KD builder) and corpus BLEU/WER scoring
+(reference /root/reference/eval/generate.py:255-396).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu import config as cfglib
+from simulst_tpu.data.dataset import BatcherConfig, SpeechDataset, make_batches
+from simulst_tpu.data.manifest import load_tsv
+from simulst_tpu.data.vocab import EOS, Vocabulary
+from simulst_tpu.decode.beam import BeamConfig, beam_search, greedy_decode
+from simulst_tpu.decode.scoring import corpus_bleu, wer
+from simulst_tpu.models import get_model
+from simulst_tpu.models import s2t_emformer as s2t
+from simulst_tpu.nn import attention as attn_mod
+from simulst_tpu.nn import transformer as tfm
+from simulst_tpu.train.checkpoint import load_checkpoint
+
+
+def decode_batch(model, params, batch, beam_cfg: BeamConfig):
+    """Returns (tokens (B, L), lengths (B,)) best hypotheses."""
+    cfg = model.cfg
+    enc = s2t.encoder_forward(params["encoder"], cfg,
+                              jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["feat_lengths"]))
+    b = batch["feats"].shape[0]
+    beam = beam_cfg.beam_size
+    enc_out = jnp.repeat(enc.encoder_out, beam, axis=0)
+    enc_valid = (jnp.arange(enc_out.shape[1])[None, :]
+                 < jnp.repeat(enc.lengths, beam)[:, None])
+    dstate = tfm.decoder_init_state(cfg.decoder, b * beam, beam_cfg.max_len + 1)
+
+    def step_fn(state, tokens):
+        return tfm.decoder_step(params["decoder"], cfg.decoder, state, tokens,
+                                enc_out, enc_valid)
+
+    def reorder_fn(state, idx):
+        def re(c):
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+        return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
+                                step=state.step)
+
+    if beam == 1:
+        tokens, lengths = greedy_decode(step_fn, dstate, b, beam_cfg)
+        return tokens, lengths
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+    return res.tokens[:, 0], res.lengths[:, 0]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--gen-subset", default="tst-COMMON")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", default=None, help="override model name")
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--task", default="st", choices=["asr", "st"])
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--max-len", type=int, default=200)
+    p.add_argument("--len-penalty", type=float, default=1.0)
+    p.add_argument("--max-tokens", type=int, default=40000)
+    p.add_argument("--scoring", default="bleu", choices=["bleu", "wer"])
+    p.add_argument("--output", default=None)
+    p.add_argument("--override", action="append", default=[])
+    args = p.parse_args(argv)
+
+    vocab_path = args.vocab
+    if vocab_path is None:
+        for cand in sorted(os.listdir(args.data)):
+            if cand.startswith("spm_") and cand.endswith(".txt"):
+                vocab_path = os.path.join(args.data, cand)
+    vocab = (Vocabulary.from_spm(vocab_path) if vocab_path.endswith(".model")
+             else Vocabulary.from_txt(vocab_path))
+
+    restored, meta = load_checkpoint(args.checkpoint)
+    model_name = args.model or (meta or {}).get("model", "s2t_emformer")
+    model_cls = get_model(model_name)
+    overrides = dict(cfglib.parse_override(s) for s in args.override)
+    base = ((meta or {}).get("config") or {})
+    mcfg = cfglib.from_dict(model_cls.Config, {**base, **overrides,
+                                               "vocab_size": len(vocab)})
+    model = model_cls(mcfg)
+    params = restored
+
+    target_field = "src_text" if args.task == "asr" else "tgt_text"
+    rows = load_tsv(os.path.join(args.data, f"{args.gen_subset}_st.tsv"))
+    bcfg = BatcherConfig(max_tokens=args.max_tokens, shuffle=False,
+                         batch_multiple=1)
+    ds = SpeechDataset(rows, vocab, bcfg, target_field)
+    beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_len,
+                          len_penalty=args.len_penalty)
+
+    refs, hyps, lines = [], [], []
+    id2row = {r["id"]: i for i, r in enumerate(rows)}
+    for batch in make_batches(ds):
+        n_real = batch["n_real"]
+        tokens, lengths = decode_batch(model, params, batch, beam_cfg)
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        for j in range(n_real):
+            uid = batch["ids"][j]
+            i = id2row[uid]
+            hyp_ids = [int(t) for t in tokens[j][: int(lengths[j])]
+                       if t != EOS]
+            hyp = vocab.decode_ids(hyp_ids)
+            ref = rows[i][target_field]
+            refs.append(ref)
+            hyps.append(hyp)
+            lines.append(f"T-{i}\t{ref}")
+            lines.append(f"D-{i}\t0.0\t{hyp}")
+
+    score = (corpus_bleu(refs, hyps) if args.scoring == "bleu"
+             else wer(refs, hyps))
+    lines.append(f"SCORE\t{args.scoring}\t{score:.2f}")
+    text = "\n".join(lines)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+    print(f"{args.scoring}: {score:.2f}")
+    return score
+
+
+if __name__ == "__main__":
+    main()

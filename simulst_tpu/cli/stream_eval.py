@@ -1,0 +1,87 @@
+"""Streaming evaluation CLI — the simuleval-invocation replacement
+(/root/reference/eval/1-simuleval.sh).
+
+Reads a wav_list + reference file, drives the chosen agent utterance by
+utterance through the built-in READ/WRITE evaluator, and writes
+`scores` (json) + `instances.log` like SimulEval does.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from simulst_tpu import config as cfglib
+from simulst_tpu.data.mustc import read_wav
+from simulst_tpu.data.vocab import Vocabulary
+from simulst_tpu.models import get_model
+from simulst_tpu.stream.agents import AgentConfig, CIFAgent, MMAAgent
+from simulst_tpu.stream.evaluator import evaluate
+from simulst_tpu.train.checkpoint import load_checkpoint
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", required=True, help="wav_list file")
+    p.add_argument("--target", required=True, help="reference text file")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--agent", default="mma", choices=["mma", "waitk", "cif"])
+    p.add_argument("--model", default=None)
+    p.add_argument("--output", default="simul_out")
+    p.add_argument("--waitk", type=int, default=None,
+                   help="test-time wait-k override (--waitk-testtime)")
+    p.add_argument("--cif-beta", type=float, default=None,
+                   help="test-time beta recalibration (cif_agent.py:207-209)")
+    p.add_argument("--overshoot-weight", type=float, default=1.0)
+    p.add_argument("--max-utterances", type=int, default=None)
+    p.add_argument("--override", action="append", default=[])
+    args = p.parse_args(argv)
+
+    vocab = (Vocabulary.from_spm(args.vocab) if args.vocab.endswith(".model")
+             else Vocabulary.from_txt(args.vocab))
+    restored, meta = load_checkpoint(args.checkpoint)
+    model_name = args.model or (meta or {}).get(
+        "model", "mma" if args.agent in ("mma", "waitk") else "cif")
+    model_cls = get_model(model_name)
+    overrides = dict(cfglib.parse_override(s) for s in args.override)
+    base = ((meta or {}).get("config") or {})
+    if args.waitk is not None:
+        overrides["waitk_testtime"] = args.waitk
+    mcfg = cfglib.from_dict(model_cls.Config, {**base, **overrides,
+                                               "vocab_size": len(vocab)})
+    model = model_cls(mcfg)
+
+    acfg = AgentConfig(overshoot_weight=args.overshoot_weight)
+    if args.agent in ("mma", "waitk"):
+        agent = MMAAgent(model, restored, vocab, acfg)
+    else:
+        agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta)
+
+    with open(args.source) as f:
+        wav_paths = [l.strip() for l in f if l.strip()]
+    with open(args.target) as f:
+        refs = [l.strip() for l in f]
+    if args.max_utterances:
+        wav_paths = wav_paths[: args.max_utterances]
+        refs = refs[: args.max_utterances]
+
+    utts = []
+    for wp in wav_paths:
+        wav, sr = read_wav(wp)
+        utts.append(wav)
+
+    os.makedirs(args.output, exist_ok=True)
+    scores = evaluate(agent, utts, refs,
+                      log_path=os.path.join(args.output, "instances.log"))
+    with open(os.path.join(args.output, "scores"), "w") as f:
+        json.dump(scores, f, indent=2)
+    print(json.dumps(scores, indent=2))
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Training CLI — the fairseq_cli.train replacement.
+
+Example (ASR pretrain, mirroring /root/reference/exp/1a-pretrain_asr.sh):
+
+  python -m simulst_tpu.cli.train \
+      --data DATA/en-de --model s2t_emformer --task asr \
+      --loss joint_ctc --save-dir ckpt/asr \
+      --override ctc_layer=true --loss-override ctc_factor=1.0
+
+Tasks (reference tasks/speech_to_text_infer.py):
+  asr  : targets = src_text (the --do-asr retarget, :95-108)
+  st   : targets = tgt_text
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu import config as cfglib
+from simulst_tpu.data.dataset import BatcherConfig, SpeechDataset, make_batches
+from simulst_tpu.data.manifest import filter_by_frames, load_tsv
+from simulst_tpu.data.vocab import Vocabulary
+from simulst_tpu.losses.cif_loss import CIFLossConfig, cif_loss
+from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
+from simulst_tpu.losses.mma_loss import MMALossConfig, mma_loss
+from simulst_tpu.models import get_model
+from simulst_tpu.ops.specaugment import spec_augment
+from simulst_tpu.train.checkpoint import save_checkpoint
+from simulst_tpu.train.loop import LoopConfig, Trainer
+from simulst_tpu.train.mesh import make_mesh, replicate, shard_batch
+from simulst_tpu.train.optim import OptimConfig
+
+
+def build_loss(args, model):
+    if args.loss == "joint_ctc":
+        lcfg = cfglib.apply_overrides(JointCTCConfig(), args.loss_overrides)
+
+        def fn(params, batch, rng):
+            logits, extra = model.forward(
+                params, batch["feats"], batch["feat_lengths"],
+                batch["prev_tokens"], rng=rng, deterministic=False)
+            return joint_ctc_loss(logits, extra, batch["target"], lcfg)
+    elif args.loss == "mma":
+        lcfg = cfglib.apply_overrides(MMALossConfig(), args.loss_overrides)
+
+        def fn(params, batch, rng):
+            logits, extra = model.forward(
+                params, batch["feats"], batch["feat_lengths"],
+                batch["prev_tokens"], rng=rng, deterministic=False)
+            return mma_loss(logits, extra, batch["target"],
+                            batch["feat_lengths"], lcfg)
+    elif args.loss == "cif":
+        base = CIFLossConfig(cif_beta=model.cfg.cif_beta)
+        lcfg = cfglib.apply_overrides(base, args.loss_overrides)
+
+        def fn(params, batch, rng):
+            logits, extra = model.forward(
+                params, batch["feats"], batch["feat_lengths"],
+                batch["prev_tokens"], rng=rng, deterministic=False)
+            return cif_loss(logits, extra, batch["target"],
+                            batch["feat_lengths"], lcfg)
+    else:
+        raise ValueError(args.loss)
+    if args.specaugment:
+        inner = fn
+
+        def fn(params, batch, rng):  # noqa: F811
+            if rng is None:  # validation path: no augmentation
+                return inner(params, batch, None)
+            r1, r2 = jax.random.split(rng)
+            batch = dict(batch, feats=spec_augment(
+                r1, batch["feats"], batch["feat_lengths"]))
+            return inner(params, batch, r2)
+    return fn
+
+
+def build_valid_fn(args, model, dataset, lcfg_loss_fn):
+    def valid_fn(params):
+        total, n = 0.0, 0.0
+        rng = jax.random.PRNGKey(0)
+        for batch in make_batches(dataset):
+            batch.pop("ids"); batch.pop("n_real")
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, metrics = lcfg_loss_fn(params, batch, None)
+            total += float(metrics["loss"])
+            n += float(metrics["sample_size"])
+        return {"loss": total / max(n, 1.0)}
+    return valid_fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help="dir with {split}_st.tsv + vocab")
+    p.add_argument("--train-split", default="train")
+    p.add_argument("--valid-split", default="dev")
+    p.add_argument("--vocab", default=None, help="vocab .txt/.model path")
+    p.add_argument("--model", default="s2t_emformer")
+    p.add_argument("--task", default="st", choices=["asr", "st"])
+    p.add_argument("--loss", default="joint_ctc",
+                   choices=["joint_ctc", "mma", "cif"])
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--max-updates", type=int, default=100000)
+    p.add_argument("--max-tokens", type=int, default=40000)
+    p.add_argument("--update-freq", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup-updates", type=int, default=4000)
+    p.add_argument("--clip-norm", type=float, default=10.0)
+    p.add_argument("--patience", type=int, default=0)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--specaugment", action="store_true", default=True)
+    p.add_argument("--no-specaugment", dest="specaugment", action="store_false")
+    p.add_argument("--load-params", default=None,
+                   help="orbax checkpoint to init params from")
+    p.add_argument("--load-pretrained-encoder-from", default=None)
+    p.add_argument("--override", action="append", default=[],
+                   help="model config overrides key=value")
+    p.add_argument("--loss-override", action="append", default=[])
+    args = p.parse_args(argv)
+    args.overrides = dict(cfglib.parse_override(s) for s in args.override)
+    args.loss_overrides = dict(cfglib.parse_override(s) for s in args.loss_override)
+
+    # vocab + data
+    vocab_path = args.vocab
+    if vocab_path is None:
+        for cand in os.listdir(args.data):
+            if cand.startswith("spm_") and cand.endswith(".txt"):
+                vocab_path = os.path.join(args.data, cand)
+                break
+    vocab = (Vocabulary.from_spm(vocab_path) if vocab_path.endswith(".model")
+             else Vocabulary.from_txt(vocab_path))
+
+    target_field = "src_text" if args.task == "asr" else "tgt_text"
+    bcfg = BatcherConfig(max_tokens=args.max_tokens, seed=args.seed)
+    train_rows = filter_by_frames(load_tsv(
+        os.path.join(args.data, f"{args.train_split}_st.tsv")))
+    valid_rows = load_tsv(os.path.join(args.data, f"{args.valid_split}_st.tsv"))
+    train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field)
+    valid_ds = SpeechDataset(valid_rows, vocab, dataclasses_replace(
+        bcfg, shuffle=False), target_field)
+
+    # model
+    model_cls = get_model(args.model)
+    mcfg = cfglib.apply_overrides(model_cls.Config(vocab_size=len(vocab)),
+                                  args.overrides)
+    model = model_cls(mcfg)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    if args.load_params:
+        from simulst_tpu.train.checkpoint import load_checkpoint
+        params, _ = load_checkpoint(args.load_params, template=params)
+    if args.load_pretrained_encoder_from:
+        from simulst_tpu.train.checkpoint import load_checkpoint
+        pre, _ = load_checkpoint(args.load_pretrained_encoder_from)
+        params = dict(params, encoder=pre["encoder"])
+
+    loss_fn = build_loss(args, model)
+    optim_cfg = OptimConfig(lr=args.lr, warmup_updates=args.warmup_updates,
+                            clip_norm=args.clip_norm)
+    loop_cfg = LoopConfig(max_updates=args.max_updates, patience=args.patience,
+                          save_dir=args.save_dir, seed=args.seed)
+    trainer = Trainer(loss_fn, optim_cfg, loop_cfg, params,
+                      valid_fn=build_valid_fn(args, model, valid_ds, loss_fn))
+
+    mesh = make_mesh()
+
+    def batches(epoch):
+        for b in make_batches(train_ds, epoch=epoch):
+            b.pop("ids"); b.pop("n_real")
+            yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items()})
+
+    state = trainer.fit(batches)
+    save_checkpoint(os.path.join(args.save_dir, "checkpoint_last"),
+                    state.params, metadata={
+                        "model": args.model,
+                        "config": cfglib.to_dict(mcfg),
+                        "step": int(state.step)})
+    return state
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Dataset + static-shape bucketing batcher.
+
+The reference relies on fairseq's Cython bucketing (SURVEY.md §2.5, "not
+replicated — superseded by XLA; batch bucketing reimplemented host-side").
+TPU-first twist: batch SHAPES are quantized to a small fixed set of
+(frame, token) buckets so the jitted train step compiles once per bucket
+instead of once per batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from simulst_tpu.data.features import global_cmvn, utterance_cmvn
+from simulst_tpu.data.manifest import read_feature
+from simulst_tpu.data.vocab import EOS, PAD, Vocabulary
+
+
+@dataclasses.dataclass
+class BatcherConfig:
+    max_tokens: int = 40000          # frames per batch (fairseq --max-tokens)
+    max_sentences: Optional[int] = None
+    frame_buckets: Sequence[int] = (256, 512, 768, 1024, 1536, 2048, 3000)
+    token_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128)
+    cmvn: str = "utterance"          # "utterance" | "global" | "none"
+    shuffle: bool = True
+    seed: int = 1
+    batch_multiple: int = 8          # pad batch size for even device sharding
+
+
+def _bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def move_eos_to_begin(tokens: List[int]) -> List[int]:
+    """prev_output_tokens construction (fairseq convention; reference
+    tasks/speech_to_text_infer.py:23-42)."""
+    assert tokens[-1] == EOS
+    return [EOS] + tokens[:-1]
+
+
+class SpeechDataset:
+    """Loads manifest rows into (features, target ids)."""
+
+    def __init__(self, rows: List[Dict[str, str]], vocab: Vocabulary,
+                 cfg: BatcherConfig, target_field: str = "tgt_text",
+                 global_stats=None):
+        self.rows = rows
+        self.vocab = vocab
+        self.cfg = cfg
+        self.target_field = target_field
+        self.global_stats = global_stats
+
+    def __len__(self):
+        return len(self.rows)
+
+    def example(self, i: int):
+        r = self.rows[i]
+        feats = read_feature(r["audio"])
+        if self.cfg.cmvn == "utterance":
+            feats = utterance_cmvn(feats)
+        elif self.cfg.cmvn == "global" and self.global_stats is not None:
+            feats = global_cmvn(feats, self.global_stats)
+        target = self.vocab.encode(r[self.target_field], append_eos=True)
+        return feats, np.asarray(target, np.int32), r["id"]
+
+
+def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
+                 epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields padded batches with bucketed static shapes:
+    feats (B, Tb, F), feat_lengths, target (B, Lb) [with EOS], prev_tokens,
+    ids."""
+    cfg = cfg or dataset.cfg
+    order = np.argsort([int(r["n_frames"]) for r in dataset.rows])
+    if cfg.shuffle:
+        rng = np.random.RandomState(cfg.seed + epoch)
+        # shuffle within length-sorted blocks to keep buckets tight
+        block = 256
+        blocks = [order[i:i + block] for i in range(0, len(order), block)]
+        rng.shuffle(blocks)
+        order = np.concatenate(blocks) if blocks else order
+
+    batch, max_f = [], 0
+    for i in order:
+        n = int(dataset.rows[i]["n_frames"])
+        nf = max(max_f, n)
+        if batch and (nf * (len(batch) + 1) > cfg.max_tokens or
+                      (cfg.max_sentences and len(batch) >= cfg.max_sentences)):
+            yield _collate(dataset, batch, cfg)
+            batch, max_f = [], 0
+        batch.append(i)
+        max_f = max(max_f, n)
+    if batch:
+        yield _collate(dataset, batch, cfg)
+
+
+def _collate(dataset: SpeechDataset, idxs, cfg: BatcherConfig):
+    examples = [dataset.example(i) for i in idxs]
+    feat_dim = examples[0][0].shape[1]
+    tb = _bucket(max(f.shape[0] for f, _, _ in examples), cfg.frame_buckets)
+    lb = _bucket(max(len(t) for _, t, _ in examples), cfg.token_buckets)
+    bsz = len(examples)
+    b_pad = -(-bsz // cfg.batch_multiple) * cfg.batch_multiple
+
+    feats = np.zeros((b_pad, tb, feat_dim), np.float32)
+    feat_lengths = np.zeros((b_pad,), np.int32)
+    target = np.full((b_pad, lb), PAD, np.int32)
+    prev = np.full((b_pad, lb), PAD, np.int32)
+    ids = []
+    for j, (f, t, uid) in enumerate(examples):
+        n = min(f.shape[0], tb)
+        feats[j, :n] = f[:n]
+        feat_lengths[j] = n
+        L = min(len(t), lb)
+        tt = t[:L].copy()
+        tt[-1] = EOS
+        target[j, :L] = tt
+        prev[j, :L] = np.asarray(move_eos_to_begin(list(tt)), np.int32)
+        ids.append(uid)
+    # padded (dummy) rows keep feat_lengths=0 / all-PAD targets: they
+    # contribute zero to sum losses and sample_size.
+    return {"feats": feats, "feat_lengths": feat_lengths, "target": target,
+            "prev_tokens": prev, "ids": ids, "n_real": bsz}

@@ -264,6 +264,60 @@ def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
     return EncoderOut(encoder_out=enc, lengths=lengths, ctc_logits=ctc_logits), new_state
 
 
+def make_encoder_stepper(params, cfg: S2TEmformerConfig):
+    """Returns a jit-cached streaming step: step(state, feats, finish).
+
+    Each distinct (n_new_frames, carry_len, finish) signature compiles once;
+    the standard agent protocol uses exactly two signatures (first chunk,
+    steady chunk) plus one flush, so every READ is a single XLA call.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("carry_len", "finish"))
+    def _step(sub, pos, emf_state, carry, feats, carry_len, finish):
+        state = EncoderStreamState(sub=sub, pos=pos, emf=emf_state,
+                                   carry=carry, carry_len=carry_len)
+        out, ns = encoder_step(params, cfg, state, feats, finish)
+        return (out.encoder_out, out.ctc_logits, ns.sub, ns.pos, ns.emf,
+                ns.carry)
+
+    def step(state: EncoderStreamState, feats, finish: bool = False):
+        n_new = 0 if feats is None else feats.shape[1]
+        enc, ctc, sub, pos, emf_state, carry = _step(
+            state.sub, state.pos, state.emf, state.carry, feats,
+            state.carry_len, finish)
+        new_len = _carry_plan(cfg, state.carry_len, n_new, finish)
+        ns = EncoderStreamState(sub=sub, pos=pos, emf=emf_state, carry=carry,
+                                carry_len=new_len)
+        lengths = jnp.full((enc.shape[0],), enc.shape[1], jnp.int32)
+        return EncoderOut(encoder_out=enc, lengths=lengths, ctc_logits=ctc), ns
+
+    return step
+
+
+def _carry_plan(cfg: S2TEmformerConfig, carry_len: int, n_new_feats: int,
+                finish: bool) -> int:
+    """Host-side mirror of encoder_step's segment-draining arithmetic,
+    returning the next carry length (all quantities are deterministic
+    functions of chunk sizes)."""
+    ecfg = cfg.emformer
+    seg, rc = ecfg.segment, ecfg.right_context
+    m = 0
+    if n_new_feats > 0:
+        # per stride-2 causal conv layer: out = floor((L-1)/2) + 1
+        m = n_new_feats
+        for _ in cfg.conv_kernel_sizes:
+            m = (m - 1) // 2 + 1
+    v = carry_len + m
+    size = v + (rc if finish else 0)
+    o = 0
+    while (size - o) >= seg + rc and (v - o) >= seg:
+        o += seg
+    if finish and v - o > 0:
+        o += v - o
+    return 0 if finish else size - o
+
+
 # ---------------------------------------------------------------------------
 # full model
 # ---------------------------------------------------------------------------

@@ -1,0 +1,250 @@
+"""Streaming READ/WRITE agents.
+
+Native re-design of the reference's SimulEval agents
+(/root/reference/codebase/agents/default_agent.py, cif_agent.py): every READ
+is one jitted encoder chunk step, every WRITE attempt one jitted decoder
+step over a fixed-capacity encoder buffer; rollback-on-READ = not adopting
+the attempted decoder state.
+
+Protocol (mirrors the reference's chunk geometry, default_agent.py:364-376):
+  * first READ requests (segment + right_context) * 10ms of audio + one
+    extra window (15ms), subsequent READs segment * 10ms;
+  * the MMA/wait-k agent runs the decoder each step and the MODEL decides
+    (any monotonic head demanding source => READ);
+  * the CIF agent WRITEs iff fired CIF length > decoded length or finished;
+  * predicted EOS before finish_read with force_finish => discard the
+    attempt and READ instead (default_agent.py:415-436).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu.data.vocab import EOS, Vocabulary
+from simulst_tpu.models import cif as cif_mod
+from simulst_tpu.models import mma as mma_mod
+from simulst_tpu.models import s2t_emformer as s2t
+from simulst_tpu.ops.fbank import OnlineFbank
+
+READ, WRITE = 0, 1
+BOW_PREFIX = "▁"  # sentencepiece word-start marker
+
+
+@dataclasses.dataclass
+class AgentConfig:
+    max_src_frames: int = 1024      # post-subsample encoder buffer capacity
+    max_tgt_len: int = 256
+    force_finish: bool = True
+    overshoot_weight: float = 1.0   # CIF test-time knob (cif_agent.py:135)
+    max_len_factor: float = 10.0    # safety cap on output length
+
+
+class StreamingSession:
+    """One utterance's streaming state; subclasses implement policy/predict."""
+
+    def __init__(self, agent):
+        self.agent = agent
+        cfg = agent.cfg
+        self.fbank = OnlineFbank(global_cmvn=agent.global_cmvn)
+        self.enc_state = s2t.encoder_init_state(agent.params["encoder"], cfg, 1)
+        self.enc_buf = jnp.zeros((1, agent.acfg.max_src_frames, cfg.embed_dim))
+        self.src_len = 0
+        self.finished_read = False
+        self.finished = False
+        self.target_ids: List[int] = []
+        self.pending_feats = np.zeros((0, cfg.input_feat), np.float32)
+        # chunk geometry in ms (reference default_agent.py:364-376)
+        stride_ms = cfg.stride * 10
+        self.first_chunk_ms = (cfg.segment_length // cfg.stride
+                               + cfg.right_context // cfg.stride) * stride_ms + 15
+        self.chunk_ms = (cfg.segment_length // cfg.stride) * stride_ms
+        self.next_chunk_ms = self.first_chunk_ms
+        self._got_first = False
+
+    # -- source side --------------------------------------------------------
+    def push_audio(self, samples: np.ndarray, finished: bool):
+        """Feed raw samples in [-1, 1]; runs the encoder on the new chunk."""
+        feats = self.fbank(samples)
+        self.finished_read = self.finished_read or finished
+        if feats.shape[0] == 0 and not finished:
+            return
+        x = None
+        if feats.shape[0] > 0:
+            x = jnp.asarray(feats)[None]
+        out, self.enc_state = self.agent.enc_step(self.enc_state, x,
+                                                  finish=finished)
+        n = out.encoder_out.shape[1]
+        if n > 0:
+            self.enc_buf = jax.lax.dynamic_update_slice(
+                self.enc_buf, out.encoder_out, (0, self.src_len, 0))
+            self._consume_encoder_extra(out)
+            self.src_len += n
+        self.next_chunk_ms = self.chunk_ms
+        self._got_first = True
+
+    def _consume_encoder_extra(self, out):
+        pass
+
+    # -- target side ---------------------------------------------------------
+    def policy(self) -> int:
+        raise NotImplementedError
+
+    def predict(self) -> Optional[int]:
+        raise NotImplementedError
+
+
+class SpeechAgent:
+    """Holds params + jitted step functions shared across sessions."""
+
+    session_cls = StreamingSession
+
+    def __init__(self, model, params, vocab: Vocabulary,
+                 acfg: Optional[AgentConfig] = None, global_cmvn=None):
+        self.model = model
+        self.cfg = model.cfg
+        self.params = params
+        self.vocab = vocab
+        self.acfg = acfg or AgentConfig()
+        self.global_cmvn = global_cmvn
+        self.enc_step = s2t.make_encoder_stepper(params["encoder"], self.cfg)
+
+    def new_session(self) -> StreamingSession:
+        return self.session_cls(self)
+
+
+# ---------------------------------------------------------------------------
+# MMA / wait-k agent
+# ---------------------------------------------------------------------------
+
+class MMASession(StreamingSession):
+    def __init__(self, agent):
+        super().__init__(agent)
+        self.dec_state = mma_mod.mma_decoder_init_state(
+            agent.cfg, 1, agent.acfg.max_tgt_len)
+        self._attempt = None
+
+    def policy(self) -> int:
+        if not self._got_first:
+            return READ
+        if self.finished:
+            return WRITE
+        prev = jnp.array([self.target_ids[-1] if self.target_ids else EOS],
+                         jnp.int32)
+        online = jnp.asarray(not self.finished_read)
+        logits, action, new_state = self.agent.dec_step(
+            self.agent.params["decoder"], self.dec_state, prev, self.enc_buf,
+            jnp.array([self.src_len]), online)
+        if int(action) == 0:
+            # READ: keep advanced monotonic positions, roll back KV/step
+            self.dec_state = mma_mod.adopt_on_read(self.dec_state, new_state)
+            self._attempt = None
+            return READ
+        self._attempt = (logits, new_state)
+        return WRITE
+
+    def predict(self) -> Optional[int]:
+        logits, new_state = self._attempt
+        idx = int(jnp.argmax(logits[0]))
+        if (self.agent.acfg.force_finish and idx == EOS
+                and not self.finished_read):
+            # discard the attempt entirely (clear_cache, :429-434)
+            self._attempt = None
+            return None
+        self.dec_state = new_state
+        self.target_ids.append(idx)
+        if idx == EOS or len(self.target_ids) >= self.agent.acfg.max_tgt_len - 1:
+            self.finished = True
+        return idx
+
+
+class MMAAgent(SpeechAgent):
+    session_cls = MMASession
+
+    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None):
+        super().__init__(model, params, vocab, acfg, global_cmvn)
+        cfg = self.cfg
+        self.dec_step = jax.jit(
+            lambda p, st, tok, buf, n, online: mma_mod.mma_decoder_step(
+                p, cfg, st, tok, buf, n, online))
+
+
+# ---------------------------------------------------------------------------
+# CIF agent
+# ---------------------------------------------------------------------------
+
+class CIFSession(StreamingSession):
+    def __init__(self, agent):
+        super().__init__(agent)
+        self.dec_state = cif_mod.cif_decoder_init_state(
+            agent.cfg, 1, agent.acfg.max_tgt_len)
+        self.cif_state = cif_mod.cif_layer_init_state(
+            agent.params["cif"], agent.cfg, 1)
+        self.cif_buf = jnp.zeros((1, agent.acfg.max_tgt_len, agent.cfg.embed_dim))
+        self.cif_len = 0
+
+    def _consume_encoder_extra(self, out):
+        feats, n_emit, self.cif_state = self.agent.cif_step(
+            self.cif_state, out.encoder_out, self.finished_read)
+        n = int(n_emit[0])
+        if n > 0:
+            room = self.cif_buf.shape[1] - self.cif_len
+            n = min(n, room)
+            self.cif_buf = jax.lax.dynamic_update_slice(
+                self.cif_buf, feats[:, :n], (0, self.cif_len, 0))
+            self.cif_len += n
+
+    def policy(self) -> int:
+        if not self._got_first:
+            return READ
+        # WRITE iff fired length exceeds decoded length, or finished reading
+        # (reference cif_agent.py:385-412)
+        if self.finished or self.finished_read or \
+                self.cif_len > len(self.target_ids):
+            return WRITE
+        return READ
+
+    def predict(self) -> Optional[int]:
+        prev = jnp.array([self.target_ids[-1] if self.target_ids else EOS],
+                         jnp.int32)
+        logits, new_state = self.agent.dec_step(
+            self.agent.params["decoder"], self.dec_state, prev, self.cif_buf,
+            jnp.array([self.cif_len]))
+        idx = int(jnp.argmax(logits[0]))
+        if (self.agent.acfg.force_finish and idx == EOS
+                and not self.finished_read):
+            return None  # discard attempt (rollback = not adopting state)
+        self.dec_state = new_state
+        self.target_ids.append(idx)
+        if idx == EOS or len(self.target_ids) >= self.agent.acfg.max_tgt_len - 1:
+            self.finished = True
+        return idx
+
+
+class CIFAgent(SpeechAgent):
+    session_cls = CIFSession
+
+    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None,
+                 cif_beta: Optional[float] = None):
+        if cif_beta is not None:
+            # test-time beta recalibration (--model-overrides equivalent,
+            # cif_agent.py:207-209)
+            model = cif_mod.CIFModel(
+                dataclasses.replace(model.cfg, cif_beta=cif_beta))
+        super().__init__(model, params, vocab, acfg, global_cmvn)
+        cfg = self.cfg
+        ow = (acfg or AgentConfig()).overshoot_weight
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("finish",))
+        def cif_step(state, x, finish):
+            return cif_mod.cif_layer_step(self.params["cif"], cfg, state, x,
+                                          finish)
+        self.cif_step = cif_step
+        self.dec_step = jax.jit(
+            lambda p, st, tok, buf, n: cif_mod.cif_decoder_step(
+                p, cfg, st, tok, buf, n, overshoot_weight=ow))

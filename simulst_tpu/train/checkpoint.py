@@ -1,0 +1,69 @@
+"""Checkpointing: orbax save/load + best-N averaging.
+
+Replaces fairseq's checkpoint machinery used by the reference:
+--keep-best-checkpoints with metric-encoded filenames + best-N averaging
+(/root/reference/scripts/average_checkpoints.py:76-99), component-wise
+pretrained init (s2t_emformer.py:348-360), resume.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {"state": state}
+    if metadata:
+        payload["metadata"] = metadata
+    ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint(path: str, template=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        restored = ckptr.restore(os.path.abspath(path),
+                                 item={"state": template, "metadata": None})
+    else:
+        restored = ckptr.restore(os.path.abspath(path))
+    return restored["state"], restored.get("metadata")
+
+
+BEST_RE = re.compile(r"checkpoint\.best_(?P<metric>[^_]+)_(?P<value>[0-9.]+?)(\.pt)?$")
+
+
+def find_best_checkpoints(directory: str, n: int = 5, maximize: bool = False
+                          ) -> List[str]:
+    """Select best-N by the metric encoded in the filename
+    (reference average_checkpoints.py:76-99 pattern
+    `checkpoint.best_<metric>_<value>`)."""
+    cands = []
+    for f in os.listdir(directory):
+        m = BEST_RE.match(f)
+        if m:
+            cands.append((float(m.group("value")), os.path.join(directory, f)))
+    cands.sort(key=lambda x: -x[0] if maximize else x[0])
+    return [p for _, p in cands[:n]]
+
+
+def average_params(param_trees: List[Any]):
+    """Uniform average of parameter pytrees (checkpoint averaging)."""
+    n = len(param_trees)
+    assert n > 0
+    return jax.tree.map(
+        lambda *xs: sum(x.astype(jnp.float32) for x in xs) / n, *param_trees)
+
+
+def load_pretrained_component(params, component_params, component: str):
+    """Component-wise init: replace params[component] with pretrained weights
+    (reference load_pretrained_component_from_model)."""
+    out = dict(params)
+    out[component] = component_params
+    return out

@@ -1,0 +1,125 @@
+"""Training loop: the native replacement for fairseq_cli.train.
+
+Owns what the reference inherits from fairseq (SURVEY.md §1 "control
+inversion"): epoch iteration, jitted step dispatch per bucket shape,
+validation with inline greedy BLEU/WER (the reference's
+--inference-config-yaml path, tasks/speech_to_text_infer.py:126-144),
+best-metric checkpointing with metric-encoded filenames, patience early
+stopping, jsonl logging.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu.train.checkpoint import save_checkpoint
+from simulst_tpu.train.optim import OptimConfig
+from simulst_tpu.train.state import TrainState, create_train_state, make_train_step
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    max_updates: int = 100000
+    max_epochs: int = 1000
+    log_interval: int = 100
+    validate_interval_updates: int = 1000
+    keep_best: int = 5
+    best_metric: str = "loss"     # "loss" | "wer" | "bleu"
+    maximize_metric: bool = False
+    patience: int = 0
+    save_dir: str = "checkpoints"
+    seed: int = 1
+
+
+class Trainer:
+    def __init__(self, loss_fn: Callable, optim_cfg: OptimConfig,
+                 loop_cfg: LoopConfig, params,
+                 valid_fn: Optional[Callable] = None):
+        """loss_fn(params, batch, rng) -> (loss, metrics);
+        valid_fn(params) -> dict of metrics (must include loop best_metric)."""
+        self.loop_cfg = loop_cfg
+        self.state = create_train_state(params, optim_cfg)
+        self.train_step = jax.jit(make_train_step(loss_fn, optim_cfg))
+        self.valid_fn = valid_fn
+        self.best = None
+        self.bad_epochs = 0
+        os.makedirs(loop_cfg.save_dir, exist_ok=True)
+        self.log_path = os.path.join(loop_cfg.save_dir, "train_log.jsonl")
+
+    def log(self, record: Dict):
+        record = {k: (float(v) if hasattr(v, "item") or
+                      isinstance(v, (np.floating, np.integer)) else v)
+                  for k, v in record.items()}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        print(json.dumps(record), flush=True)
+
+    def _maybe_save_best(self, metrics: Dict[str, float]):
+        cfg = self.loop_cfg
+        value = metrics.get(cfg.best_metric)
+        if value is None:
+            return
+        better = (self.best is None or
+                  (value > self.best if cfg.maximize_metric else value < self.best))
+        name = f"checkpoint.best_{cfg.best_metric}_{value:.4f}"
+        save_checkpoint(os.path.join(cfg.save_dir, name),
+                        self.state.params, metadata={"step": int(self.state.step)})
+        if better:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        # prune beyond keep_best
+        from simulst_tpu.train.checkpoint import find_best_checkpoints
+        keep = set(find_best_checkpoints(cfg.save_dir, cfg.keep_best,
+                                         cfg.maximize_metric))
+        import re, shutil
+        for f in os.listdir(cfg.save_dir):
+            p = os.path.join(cfg.save_dir, f)
+            if re.match(r"checkpoint\.best_", f) and p not in keep \
+                    and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def fit(self, batch_iter_fn: Callable[[int], Iterable[Dict]]):
+        """batch_iter_fn(epoch) -> iterator of device-ready batches."""
+        cfg = self.loop_cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        t0 = time.time()
+        updates = 0
+        for epoch in range(cfg.max_epochs):
+            for batch in batch_iter_fn(epoch):
+                rng, sub = jax.random.split(rng)
+                ids = batch.pop("ids", None)
+                batch.pop("n_real", None)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+                updates += 1
+                if updates % cfg.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    denom = max(m.get("sample_size", 1.0), 1.0)
+                    self.log({"epoch": epoch, "update": updates,
+                              "loss": m["loss"] / denom,
+                              "gnorm": m.get("gnorm", 0.0),
+                              "ups": updates / (time.time() - t0)})
+                if updates % cfg.validate_interval_updates == 0:
+                    self.validate(updates)
+                    if cfg.patience and self.bad_epochs >= cfg.patience:
+                        self.log({"early_stop": updates})
+                        return self.state
+                if updates >= cfg.max_updates:
+                    self.validate(updates)
+                    return self.state
+        return self.state
+
+    def validate(self, updates: int):
+        if self.valid_fn is None:
+            return
+        metrics = self.valid_fn(self.state.params)
+        self.log({"valid_update": updates, **metrics})
+        self._maybe_save_best(metrics)

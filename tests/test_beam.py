@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu.decode.beam import BeamConfig, beam_search, greedy_decode
+
+
+def _toy_step(table):
+    """Deterministic 'model': logits depend only on (prev_token, t)."""
+    def step_fn(state, tokens):
+        t = state
+        logits = table[tokens, t]
+        return logits, t + 1
+    return step_fn
+
+
+def test_greedy_matches_argmax_chain():
+    V, T = 6, 4
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (V, T + 1, V))
+    # make token 2 (EOS) unlikely until the end
+    table = table.at[:, :, 2].add(-5.0)
+    table = table.at[:, T - 1, 2].add(20.0)
+    step = _toy_step(table)
+    cfg = BeamConfig(beam_size=1, max_len=T)
+    tokens, lengths = greedy_decode(step, jnp.zeros((), jnp.int32), 1, cfg)
+    # manual chain
+    cur, out = 2, []
+    for t in range(T):
+        nxt = int(jnp.argmax(table[cur, t]))
+        out.append(nxt)
+        cur = nxt
+        if nxt == 2:
+            break
+    np.testing.assert_array_equal(np.asarray(tokens)[0, :len(out)], out)
+
+
+def test_beam_finds_higher_score_than_greedy():
+    V, T = 8, 5
+    key = jax.random.PRNGKey(1)
+    table = jax.random.normal(key, (V, T + 1, V)) * 2.0
+    table = table.at[:, :, 1].add(-100.0)  # never PAD
+    step = _toy_step(table)
+
+    def total_logprob(seq):
+        lp, cur = 0.0, 2
+        for t, tok in enumerate(seq):
+            lp += float(jax.nn.log_softmax(table[cur, t])[tok])
+            cur = tok
+        return lp
+
+    g_tokens, g_len = greedy_decode(step, jnp.zeros((), jnp.int32), 1,
+                                    BeamConfig(beam_size=1, max_len=T))
+    res = beam_search(step, jnp.zeros((), jnp.int32), 1,
+                      BeamConfig(beam_size=4, max_len=T),
+                      reorder_fn=lambda s, idx: s)
+    g_seq = [int(x) for x in np.asarray(g_tokens)[0][:int(g_len[0])]]
+    b_seq = [int(x) for x in np.asarray(res.tokens)[0, 0][:int(res.lengths[0, 0])]]
+    assert total_logprob(b_seq) >= total_logprob(g_seq) - 1e-5
+
+
+def test_beam_respects_eos_freeze():
+    """A beam that hits EOS must stay frozen (PAD continuation)."""
+    V, T = 5, 6
+    table = jnp.zeros((V, T + 1, V)).at[:, 2, 2].add(10.0)  # EOS at t=2
+    step = _toy_step(table)
+    res = beam_search(step, jnp.zeros((), jnp.int32), 1,
+                      BeamConfig(beam_size=2, max_len=T),
+                      reorder_fn=lambda s, idx: s)
+    toks = np.asarray(res.tokens)[0, 0]
+    eos_pos = int(np.argmax(toks == 2))
+    assert (toks[eos_pos + 1:] == 1).all()  # PAD after EOS

@@ -1,0 +1,68 @@
+import os
+
+import numpy as np
+
+from simulst_tpu.data import manifest as mf
+from simulst_tpu.data.dataset import BatcherConfig, SpeechDataset, make_batches
+from simulst_tpu.data.vocab import EOS, PAD, Vocabulary
+from simulst_tpu.decode.scoring import corpus_bleu, wer
+
+
+def test_zip_roundtrip(tmp_path):
+    feats = {f"utt{i}": np.random.RandomState(i).randn(10 + i, 4).astype(np.float32)
+             for i in range(3)}
+    zp = str(tmp_path / "feats.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    for uid, spec in specs.items():
+        back = mf.read_feature(spec)
+        np.testing.assert_array_equal(back, feats[uid])
+
+
+def test_manifest_tsv_roundtrip(tmp_path):
+    rows = [{"id": "a", "audio": "x.zip:0:10", "n_frames": "100",
+             "src_text": "hello world", "tgt_text": "hallo welt",
+             "speaker": "spk1"}]
+    p = str(tmp_path / "m.tsv")
+    mf.save_tsv(rows, p)
+    assert mf.load_tsv(p) == rows
+
+
+def test_vocab_fallback_encode_decode():
+    v = Vocabulary.build(["hello world", "world peace"], vocab_size=10)
+    ids = v.encode("hello world")
+    assert ids[-1] == EOS
+    assert v.decode_ids(ids) == "hello world"
+    # unknown word -> UNK but still decodes the rest
+    ids2 = v.encode("hello mars")
+    assert 3 in ids2
+
+
+def test_batcher_static_buckets(tmp_path):
+    feats = {f"u{i}": np.random.randn(50 + 37 * i, 8).astype(np.float32)
+             for i in range(5)}
+    zp = str(tmp_path / "f.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    rows = [{"id": k, "audio": specs[k], "n_frames": str(feats[k].shape[0]),
+             "src_text": "a b", "tgt_text": "x y z", "speaker": "s"}
+            for k in feats]
+    v = Vocabulary.build(["x y z"], vocab_size=10)
+    cfg = BatcherConfig(max_tokens=2000, frame_buckets=(64, 128, 256),
+                        token_buckets=(8, 16), shuffle=False, batch_multiple=2)
+    ds = SpeechDataset(rows, v, cfg)
+    shapes = set()
+    total = 0
+    for b in make_batches(ds):
+        assert b["feats"].shape[1] in (64, 128, 256)
+        assert b["target"].shape[1] in (8, 16)
+        assert b["feats"].shape[0] % 2 == 0
+        assert (b["prev_tokens"][:b["n_real"], 0] == EOS).all()
+        shapes.add(b["feats"].shape[1:])
+        total += b["n_real"]
+    assert total == 5
+
+
+def test_wer_and_bleu():
+    refs = ["the cat sat on the mat", "hello world"]
+    assert wer(refs, refs) == 0.0
+    assert wer(["a b c"], ["a x c"]) == 100.0 / 3
+    assert corpus_bleu(refs, refs) > 99.0

@@ -1,0 +1,40 @@
+"""The segment-batched attention must be numerically identical to the dense
+masked attention (the reference formulation)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simulst_tpu.nn import emformer as emf
+from tests.test_emformer import tiny_cfg
+
+
+@pytest.mark.parametrize("U,lengths", [
+    (16, [16, 16]), (20, [20, 13]), (11, [11, 7]), (40, [40, 33]),
+])
+def test_segmented_equals_dense(U, lengths):
+    cfg_seg = tiny_cfg(segmented_attention=True)
+    cfg_dense = dataclasses.replace(cfg_seg, segmented_attention=False)
+    params = emf.emformer_init(jax.random.PRNGKey(0), cfg_seg)
+    B = len(lengths)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (B, U + cfg_seg.right_context, cfg_seg.input_dim))
+    lens = jnp.asarray(lengths)
+    out_s, _ = emf.emformer_forward(params, cfg_seg, x, lens)
+    out_d, _ = emf.emformer_forward(params, cfg_dense, x, lens)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_segmented_no_mem():
+    cfg_seg = tiny_cfg(segmented_attention=True, max_memory=0)
+    cfg_dense = dataclasses.replace(cfg_seg, segmented_attention=False)
+    params = emf.emformer_init(jax.random.PRNGKey(0), cfg_seg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 22, cfg_seg.input_dim))
+    lens = jnp.array([20])
+    out_s, _ = emf.emformer_forward(params, cfg_seg, x, lens)
+    out_d, _ = emf.emformer_forward(params, cfg_dense, x, lens)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-5)
