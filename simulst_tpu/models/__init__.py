@@ -10,16 +10,17 @@ def register_model(name):
     return deco
 
 
+_ALL = ("s2t_emformer", "mma", "cif", "mt_transformer", "transducer",
+        "s2t_convpos")
+
+
 def get_model(name):
-    import simulst_tpu.models.s2t_emformer  # noqa: F401
-    import simulst_tpu.models.mma  # noqa: F401
-    import simulst_tpu.models.cif  # noqa: F401
-    import simulst_tpu.models.mt_transformer  # noqa: F401
-    import simulst_tpu.models.transducer  # noqa: F401
+    for mod in _ALL:
+        __import__(f"simulst_tpu.models.{mod}")
     return _MODELS[name]
 
 
 def available_models():
-    for mod in ("s2t_emformer", "mma", "cif", "mt_transformer", "transducer"):
+    for mod in _ALL:
         __import__(f"simulst_tpu.models.{mod}")
     return sorted(_MODELS)

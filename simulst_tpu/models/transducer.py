@@ -168,7 +168,7 @@ class TransducerModel:
                                         cfg.downsample)
         b, t = prev_tokens.shape
         pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.blank_idx
-        toks = prev_tokens.at[:, 0].set(bos)
+        toks = jnp.asarray(prev_tokens).at[:, 0].set(bos)
         toks = jnp.concatenate([toks, jnp.full((b, 1), pad, toks.dtype)], axis=1)
         tl = (toks != pad).sum(axis=1)
         toks = jnp.asarray(toks)
