@@ -41,22 +41,38 @@ def main():
     S_MAX = 1024
     enc_buf = jnp.zeros((1, S_MAX, cfg.embed_dim))
     enc_buf = jax.lax.dynamic_update_slice(enc_buf, out.encoder_out, (0, 0, 0))
-    src_len = out.encoder_out.shape[1]
+    src_len = jnp.asarray(out.encoder_out.shape[1])
     dstate = tfm.decoder_init_state(cfg.decoder, 1, 256)
-
-    dec_step = jax.jit(lambda p, st, tok, buf, n: tfm.decoder_step(
-        p, cfg.decoder, st, tok, buf,
-        jnp.arange(S_MAX)[None, :] < n))
-
     tok = jnp.array([cfg.eos_idx], jnp.int32)
 
-    def one_read_write(state, dstate, enc_buf, src_len):
-        out, state = enc_step(state, feats)
+    # The whole READ (incremental encode + buffer append) + WRITE (one
+    # decoder step) is ONE compiled XLA call — per-step host dispatch through
+    # the runtime is ~1ms here, so fusion matters as much as FLOPs.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("carry_len",))
+    def fused_read_write(sub, pos, emf_state, carry, dstate, enc_buf,
+                         src_len, tok, feats, carry_len):
+        st = s2t.EncoderStreamState(sub=sub, pos=pos, emf=emf_state,
+                                    carry=carry, carry_len=carry_len)
+        out, ns = s2t.encoder_step(params["encoder"], cfg, st, feats)
         enc_buf = jax.lax.dynamic_update_slice(
             enc_buf, out.encoder_out, (0, src_len, 0))
         src_len = src_len + out.encoder_out.shape[1]
-        logits, dstate = dec_step(params["decoder"], dstate, tok, enc_buf,
-                                  jnp.array([[src_len]]))
+        valid = (jnp.arange(S_MAX)[None, :] < src_len)
+        logits, dstate = tfm.decoder_step(params["decoder"], cfg.decoder,
+                                          dstate, tok, enc_buf, valid)
+        return (ns.sub, ns.pos, ns.emf, ns.carry, dstate, enc_buf, src_len,
+                logits)
+
+    def one_read_write(state, dstate, enc_buf, src_len):
+        sub, pos, emf_state, carry, dstate, enc_buf, src_len, logits = \
+            fused_read_write(state.sub, state.pos, state.emf, state.carry,
+                             dstate, enc_buf, src_len, tok, feats,
+                             state.carry_len)
+        new_len = s2t._carry_plan(cfg, state.carry_len, feats.shape[1], False)
+        state = s2t.EncoderStreamState(sub=sub, pos=pos, emf=emf_state,
+                                       carry=carry, carry_len=new_len)
         return state, dstate, enc_buf, src_len, logits
 
     # warmup / compile

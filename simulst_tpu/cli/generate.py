@@ -27,8 +27,93 @@ from simulst_tpu.nn import transformer as tfm
 from simulst_tpu.train.checkpoint import load_checkpoint
 
 
+def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
+                     overshoot_weight: float = 1.0):
+    """Offline CIF decoding: fire from alpha (no teacher forcing), then
+    greedy/beam over the position-aligned CIF features (the reference's
+    fairseq-generate path for cif_transformer, eval/eval_cif.sh)."""
+    from simulst_tpu.models import cif as cif_mod
+    cfg = model.cfg
+    enc = s2t.encoder_forward(params["encoder"], cfg,
+                              jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["feat_lengths"]))
+    valid = (jnp.arange(enc.encoder_out.shape[1])[None, :]
+             < enc.lengths[:, None])
+    max_out = min(int(enc.encoder_out.shape[1] / cfg.cif_beta) + 2,
+                  beam_cfg.max_len + 2)
+    cif_out, _ = cif_mod.cif_layer_forward(params["cif"], cfg,
+                                           enc.encoder_out, valid,
+                                           max_out_len=max_out)
+    b = batch["feats"].shape[0]
+    beam = beam_cfg.beam_size
+    cif_buf = jnp.repeat(cif_out.cif_out, beam, axis=0)
+    cif_len = jnp.repeat(cif_out.cif_lengths, beam, axis=0)
+    dstate = cif_mod.cif_decoder_init_state(cfg, b * beam, beam_cfg.max_len + 1)
+
+    def step_fn(state, tokens):
+        return cif_mod.cif_decoder_step(params["decoder"], cfg, state, tokens,
+                                        cif_buf, cif_len,
+                                        overshoot_weight=overshoot_weight)
+
+    def reorder_fn(state, idx):
+        def re(c):
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+        return cif_mod.CIFDecoderState(
+            caches=tuple(re(c) for c in state.caches),
+            cross_caches=tuple(re(c) for c in state.cross_caches),
+            step=state.step)
+
+    if beam == 1:
+        return greedy_decode(step_fn, dstate, b, beam_cfg)
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+    return res.tokens[:, 0], res.lengths[:, 0]
+
+
+def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
+    """Offline MMA decoding (online=False: wait-k clipped to source end, no
+    early READ returns — fairseq SequenceGenerator semantics)."""
+    from simulst_tpu.models import mma as mma_mod
+    cfg = model.cfg
+    enc = s2t.encoder_forward(params["encoder"], cfg,
+                              jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["feat_lengths"]))
+    b = batch["feats"].shape[0]
+    beam = beam_cfg.beam_size
+    enc_buf = jnp.repeat(enc.encoder_out, beam, axis=0)
+    src_len = jnp.repeat(enc.lengths, beam, axis=0)
+    dstate = mma_mod.mma_decoder_init_state(cfg, b * beam, beam_cfg.max_len + 1)
+    offline = jnp.asarray(False)
+
+    def step_fn(state, tokens):
+        logits, action, state = mma_mod.mma_decoder_step(
+            params["decoder"], cfg, state, tokens, enc_buf, src_len, offline)
+        return logits, state
+
+    def reorder_fn(state, idx):
+        def re(c):
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+        def rm(m):
+            return mma_mod.MonotonicState(head_step=m.head_step[idx],
+                                          head_read=m.head_read[idx])
+        return mma_mod.MMADecoderState(
+            caches=tuple(re(c) for c in state.caches),
+            monotonic=tuple(rm(m) for m in state.monotonic),
+            step=state.step)
+
+    if beam == 1:
+        return greedy_decode(step_fn, dstate, b, beam_cfg)
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+    return res.tokens[:, 0], res.lengths[:, 0]
+
+
 def decode_batch(model, params, batch, beam_cfg: BeamConfig):
     """Returns (tokens (B, L), lengths (B,)) best hypotheses."""
+    from simulst_tpu.models.cif import CIFModel
+    from simulst_tpu.models.mma import MMAModel
+    if isinstance(model, CIFModel):
+        return decode_batch_cif(model, params, batch, beam_cfg)
+    if isinstance(model, MMAModel):
+        return decode_batch_mma(model, params, batch, beam_cfg)
     cfg = model.cfg
     enc = s2t.encoder_forward(params["encoder"], cfg,
                               jnp.asarray(batch["feats"]),
@@ -57,6 +142,34 @@ def decode_batch(model, params, batch, beam_cfg: BeamConfig):
     return res.tokens[:, 0], res.lengths[:, 0]
 
 
+def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
+    """Text-to-text decoding for the MT teacher (seq-KD generation)."""
+    from simulst_tpu.models.mt_transformer import text_encoder_forward
+    cfg = model.cfg
+    enc, enc_valid = text_encoder_forward(params["encoder"], cfg,
+                                          jnp.asarray(batch["src_tokens"]))
+    b = batch["src_tokens"].shape[0]
+    beam = beam_cfg.beam_size
+    enc_out = jnp.repeat(enc, beam, axis=0)
+    valid = jnp.repeat(enc_valid, beam, axis=0)
+    dstate = tfm.decoder_init_state(cfg.decoder, b * beam, beam_cfg.max_len + 1)
+
+    def step_fn(state, tokens):
+        return tfm.decoder_step(params["decoder"], cfg.decoder, state, tokens,
+                                enc_out, valid)
+
+    def reorder_fn(state, idx):
+        def re(c):
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+        return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
+                                step=state.step)
+
+    if beam == 1:
+        return greedy_decode(step_fn, dstate, b, beam_cfg)
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+    return res.tokens[:, 0], res.lengths[:, 0]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
@@ -64,7 +177,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--model", default=None, help="override model name")
     p.add_argument("--vocab", default=None)
-    p.add_argument("--task", default="st", choices=["asr", "st"])
+    p.add_argument("--task", default="st", choices=["asr", "st", "mt"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--len-penalty", type=float, default=1.0)
@@ -96,15 +209,30 @@ def main(argv=None):
     rows = load_tsv(os.path.join(args.data, f"{args.gen_subset}_st.tsv"))
     bcfg = BatcherConfig(max_tokens=args.max_tokens, shuffle=False,
                          batch_multiple=1)
-    ds = SpeechDataset(rows, vocab, bcfg, target_field)
     beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_len,
                           len_penalty=args.len_penalty)
 
+    if args.task == "mt":
+        from simulst_tpu.data.text_dataset import TextDataset, make_text_batches
+        for i, r in enumerate(rows):
+            r.setdefault("id", str(i))
+        ds = TextDataset(rows, vocab)
+        batches = []
+        for b in make_text_batches(ds, bcfg):
+            b["ids"] = [rows[i]["id"] for i in b["indices"]]
+            batches.append(b)
+    else:
+        ds = SpeechDataset(rows, vocab, bcfg, target_field)
+        batches = make_batches(ds)
+
     refs, hyps, lines = [], [], []
     id2row = {r["id"]: i for i, r in enumerate(rows)}
-    for batch in make_batches(ds):
+    for batch in batches:
         n_real = batch["n_real"]
-        tokens, lengths = decode_batch(model, params, batch, beam_cfg)
+        if args.task == "mt":
+            tokens, lengths = decode_batch_mt(model, params, batch, beam_cfg)
+        else:
+            tokens, lengths = decode_batch(model, params, batch, beam_cfg)
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)
         for j in range(n_real):

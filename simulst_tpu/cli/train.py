@@ -37,6 +37,19 @@ from simulst_tpu.train.optim import OptimConfig
 
 
 def build_loss(args, model):
+    if args.loss == "ce":
+        from simulst_tpu.losses.label_smoothed_ce import ce_loss
+
+        def fn(params, batch, rng):
+            logits, _ = model.forward(params, batch["src_tokens"],
+                                      batch["prev_tokens"], rng=rng,
+                                      deterministic=rng is None)
+            loss, nll = ce_loss(logits, batch["target"], 0.1, 1)
+            ntokens = (batch["target"] != 1).sum()
+            return loss, {"loss": loss, "nll_loss": nll, "ntokens": ntokens,
+                          "nsentences": batch["target"].shape[0],
+                          "sample_size": ntokens}
+        return fn
     if args.loss == "joint_ctc":
         lcfg = cfglib.apply_overrides(JointCTCConfig(), args.loss_overrides)
 
@@ -79,12 +92,11 @@ def build_loss(args, model):
     return fn
 
 
-def build_valid_fn(args, model, dataset, lcfg_loss_fn):
+def build_valid_fn(args, model, batches_fn, lcfg_loss_fn):
     def valid_fn(params):
         total, n = 0.0, 0.0
-        rng = jax.random.PRNGKey(0)
-        for batch in make_batches(dataset):
-            batch.pop("ids"); batch.pop("n_real")
+        for batch in batches_fn():
+            batch.pop("ids", None); batch.pop("n_real", None); batch.pop("indices", None)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             loss, metrics = lcfg_loss_fn(params, batch, None)
             total += float(metrics["loss"])
@@ -100,9 +112,9 @@ def main(argv=None):
     p.add_argument("--valid-split", default="dev")
     p.add_argument("--vocab", default=None, help="vocab .txt/.model path")
     p.add_argument("--model", default="s2t_emformer")
-    p.add_argument("--task", default="st", choices=["asr", "st"])
+    p.add_argument("--task", default="st", choices=["asr", "st", "mt"])
     p.add_argument("--loss", default="joint_ctc",
-                   choices=["joint_ctc", "mma", "cif"])
+                   choices=["joint_ctc", "mma", "cif", "ce"])
     p.add_argument("--save-dir", default="checkpoints")
     p.add_argument("--max-updates", type=int, default=100000)
     p.add_argument("--max-tokens", type=int, default=40000)
@@ -136,12 +148,22 @@ def main(argv=None):
 
     target_field = "src_text" if args.task == "asr" else "tgt_text"
     bcfg = BatcherConfig(max_tokens=args.max_tokens, seed=args.seed)
-    train_rows = filter_by_frames(load_tsv(
-        os.path.join(args.data, f"{args.train_split}_st.tsv")))
+    train_rows = load_tsv(
+        os.path.join(args.data, f"{args.train_split}_st.tsv"))
     valid_rows = load_tsv(os.path.join(args.data, f"{args.valid_split}_st.tsv"))
-    train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field)
-    valid_ds = SpeechDataset(valid_rows, vocab, dataclasses_replace(
-        bcfg, shuffle=False), target_field)
+    if args.task == "mt":
+        from simulst_tpu.data.text_dataset import TextDataset, make_text_batches
+        train_ds = TextDataset(train_rows, vocab)
+        valid_ds = TextDataset(valid_rows, vocab)
+        make_ds_batches = lambda ds, epoch=0, cfg=bcfg: make_text_batches(
+            ds, dataclasses_replace(cfg, shuffle=ds is train_ds), epoch)
+        args.specaugment = False
+    else:
+        train_rows = filter_by_frames(train_rows)
+        train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field)
+        valid_ds = SpeechDataset(valid_rows, vocab, dataclasses_replace(
+            bcfg, shuffle=False), target_field)
+        make_ds_batches = lambda ds, epoch=0: make_batches(ds, epoch=epoch)
 
     # model
     model_cls = get_model(args.model)
@@ -163,13 +185,15 @@ def main(argv=None):
     loop_cfg = LoopConfig(max_updates=args.max_updates, patience=args.patience,
                           save_dir=args.save_dir, seed=args.seed)
     trainer = Trainer(loss_fn, optim_cfg, loop_cfg, params,
-                      valid_fn=build_valid_fn(args, model, valid_ds, loss_fn))
+                      valid_fn=build_valid_fn(
+                          args, model, lambda: make_ds_batches(valid_ds),
+                          loss_fn))
 
     mesh = make_mesh()
 
     def batches(epoch):
-        for b in make_batches(train_ds, epoch=epoch):
-            b.pop("ids"); b.pop("n_real")
+        for b in make_ds_batches(train_ds, epoch=epoch):
+            b.pop("ids", None); b.pop("n_real", None); b.pop("indices", None)
             yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items()})
 
     state = trainer.fit(batches)
