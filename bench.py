@@ -11,6 +11,7 @@ Output: one JSON line; vs_baseline = real-time factor (latency / 640ms
 chunk duration; < 1.0 means faster than real time, lower is better).
 """
 import json
+import os
 import time
 
 import jax
@@ -25,24 +26,33 @@ def main():
     model = s2t.S2TEmformerModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
+    # Streaming at batch=1 is weight-bandwidth-bound (~100MB of fp32 params
+    # re-read from HBM per chunk); serve in bf16 (softmax/LN still fp32
+    # internally). Override with SIMULST_BENCH_DTYPE=float32.
+    dtype = jnp.dtype(os.environ.get("SIMULST_BENCH_DTYPE", "bfloat16"))
+    if dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
     # streaming geometry (reference agents/default_agent.py:364-376):
     # steady chunk = segment_length(64 pre-stride frames) * 10ms = 640ms
     chunk_frames = cfg.segment_length
-    feats = jax.random.normal(jax.random.PRNGKey(1), (1, chunk_frames, 80))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, chunk_frames, 80)).astype(dtype)
 
     enc_step = s2t.make_encoder_stepper(params["encoder"], cfg)
-    state = s2t.encoder_init_state(params["encoder"], cfg, 1)
+    state = s2t.encoder_init_state(params["encoder"], cfg, 1, dtype)
     # warm the carry with a first (seg+rc)-sized chunk
-    first = jax.random.normal(jax.random.PRNGKey(2),
-                              (1, cfg.segment_length + cfg.right_context, 80))
+    first = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (1, cfg.segment_length + cfg.right_context, 80)).astype(dtype)
     out, state = enc_step(state, first)
 
     # fixed-capacity encoder buffer + decoder state for the WRITE step
     S_MAX = 1024
-    enc_buf = jnp.zeros((1, S_MAX, cfg.embed_dim))
+    enc_buf = jnp.zeros((1, S_MAX, cfg.embed_dim), dtype)
     enc_buf = jax.lax.dynamic_update_slice(enc_buf, out.encoder_out, (0, 0, 0))
     src_len = jnp.asarray(out.encoder_out.shape[1])
-    dstate = tfm.decoder_init_state(cfg.decoder, 1, 256)
+    dstate = tfm.decoder_init_state(cfg.decoder, 1, 256, dtype)
     tok = jnp.array([cfg.eos_idx], jnp.int32)
 
     # The whole READ (incremental encode + buffer append) + WRITE (one

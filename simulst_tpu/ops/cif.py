@@ -44,7 +44,8 @@ class CifOut(NamedTuple):
 
 def cif_function(x, alpha, beta: float = 1.0, tail_thres: float = 0.5,
                  target_lengths: Optional[jnp.ndarray] = None,
-                 max_out_len: Optional[int] = None, eps: float = 1e-4) -> CifOut:
+                 max_out_len: Optional[int] = None, eps: float = 1e-4,
+                 use_pallas: Optional[bool] = None) -> CifOut:
     """x: (B, S, C); alpha: (B, S) non-negative integration weights
     (already zeroed at padding)."""
     b, s, c = x.shape
@@ -65,23 +66,24 @@ def cif_function(x, alpha, beta: float = 1.0, tail_thres: float = 0.5,
         t = max_out_len
         feat_lengths = fires  # tail added below
 
-    csum = jnp.cumsum(alpha, axis=1)             # (B, S)
-    csum_prev = csum - alpha
-
-    k = jnp.arange(t, dtype=jnp.float32)
-    lo = k[None, None, :] * beta                 # (1, 1, T)
-    hi = lo + beta
-    portion = jnp.clip(jnp.minimum(csum[:, :, None], hi)
-                       - jnp.maximum(csum_prev[:, :, None], lo), 0.0, None)
-    # (B, S, T): overlap of each frame's weight interval with each bucket
-
     # full-precision integration: the portion weights are exact bucket
-    # overlaps; bf16 accumulation here would corrupt the fire boundaries.
-    out = jnp.einsum("bst,bsc->btc", portion.astype(x.dtype), x,
-                     precision=jax.lax.Precision.HIGHEST)
-    pos = (jnp.arange(s, dtype=jnp.float32) + 1.0)
-    delays = jnp.einsum("bst,s->bt", portion, pos,
-                        precision=jax.lax.Precision.HIGHEST) / beta
+    # overlaps (clip(min(csum, hi) - max(csum_prev, lo), 0)); bf16
+    # accumulation here would corrupt the fire boundaries.  A fused Pallas
+    # kernel (ops/cif_pallas.py) computes the portions on the fly in VMEM;
+    # measured on v5e at (B16, S768, T128, C256) it ties the XLA einsum at
+    # bf16 matmul precision and loses at fp32-HIGHEST (2.0ms vs 1.44ms), so
+    # the XLA path is the default; flip use_pallas=True for larger T where
+    # the (B,S,T) HBM intermediate dominates.
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from simulst_tpu.ops.cif_pallas import cif_integrate
+        out, delays = cif_integrate(x, alpha, float(beta), t)
+        out = out.astype(x.dtype)
+    else:
+        from simulst_tpu.ops.cif_pallas import cif_integrate_reference
+        out, delays = cif_integrate_reference(x, alpha, float(beta), t)
+        out = out.astype(x.dtype)
 
     if target_lengths is not None:
         lengths = feat_lengths
