@@ -10,5 +10,5 @@ python -m simulst_tpu.cli.train \
     --override ctc_layer=true \
     --loss-override ctc_factor=1.0 --loss-override label_smoothing=0.1 \
     --lr 1e-3 --warmup-updates 10000 --clip-norm 10 \
-    --max-tokens 40000 --update-freq 8 --max-updates 300000 --patience 25 \
+    --eval-metric wer --max-tokens 40000 --update-freq 8 --max-updates 300000 --patience 25 \
     --save-dir "$SAVE" "$@"

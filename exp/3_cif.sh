@@ -12,5 +12,5 @@ python -m simulst_tpu.cli.train \
     --loss-override quant_type=align \
     --load-pretrained-encoder-from "$ASR" \
     --lr 5e-4 --warmup-updates 4000 --clip-norm 10 \
-    --max-tokens 40000 --update-freq 4 --max-updates 100000 --patience 25 \
+    --eval-metric bleu --max-tokens 40000 --update-freq 4 --max-updates 100000 --patience 25 \
     --save-dir "$SAVE" "$@"

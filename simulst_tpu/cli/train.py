@@ -92,16 +92,45 @@ def build_loss(args, model):
     return fn
 
 
-def build_valid_fn(args, model, batches_fn, lcfg_loss_fn):
+def build_valid_fn(args, model, vocab, valid_ds, batches_fn, lcfg_loss_fn):
+    """Validation = loss + optional inline greedy BLEU/WER (the reference's
+    --inference-config-yaml path, tasks/speech_to_text_infer.py:126-217)."""
     def valid_fn(params):
         total, n = 0.0, 0.0
+        refs, hyps = [], []
         for batch in batches_fn():
-            batch.pop("ids", None); batch.pop("n_real", None); batch.pop("indices", None)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            loss, metrics = lcfg_loss_fn(params, batch, None)
+            ids = batch.pop("ids", None)
+            n_real = batch.pop("n_real", None)
+            batch.pop("indices", None)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, metrics = lcfg_loss_fn(params, jb, None)
             total += float(metrics["loss"])
             n += float(metrics["sample_size"])
-        return {"loss": total / max(n, 1.0)}
+            if args.eval_metric != "none" and ids is not None:
+                from simulst_tpu.cli.generate import decode_batch
+                from simulst_tpu.decode.beam import BeamConfig
+                import numpy as _np
+                tokens, lengths = decode_batch(
+                    model, params, batch,
+                    BeamConfig(beam_size=args.eval_beam,
+                               max_len=args.eval_max_len))
+                tokens = _np.asarray(tokens)
+                lengths = _np.asarray(lengths)
+                tgt = _np.asarray(batch["target"])
+                for j in range(n_real):
+                    hyp_ids = [int(t) for t in tokens[j][: int(lengths[j])]
+                               if t != 2]
+                    ref_ids = [int(t) for t in tgt[j] if t not in (1, 2)]
+                    hyps.append(vocab.decode_ids(hyp_ids))
+                    refs.append(vocab.decode_ids(ref_ids))
+        out = {"loss": total / max(n, 1.0)}
+        if refs:
+            from simulst_tpu.decode.scoring import corpus_bleu, wer
+            if args.eval_metric == "bleu":
+                out["bleu"] = corpus_bleu(refs, hyps)
+            elif args.eval_metric == "wer":
+                out["wer"] = wer(refs, hyps)
+        return out
     return valid_fn
 
 
@@ -132,6 +161,14 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[],
                    help="model config overrides key=value")
     p.add_argument("--loss-override", action="append", default=[])
+    p.add_argument("--eval-metric", default="none",
+                   choices=["none", "bleu", "wer"],
+                   help="inline validation metric (inference-config parity)")
+    p.add_argument("--eval-beam", type=int, default=1)
+    p.add_argument("--eval-max-len", type=int, default=96)
+    p.add_argument("--best-metric", default=None,
+                   help="metric for best-checkpoint selection "
+                        "(default: eval metric if set, else loss)")
     args = p.parse_args(argv)
     args.overrides = dict(cfglib.parse_override(s) for s in args.override)
     args.loss_overrides = dict(cfglib.parse_override(s) for s in args.loss_override)
@@ -182,12 +219,16 @@ def main(argv=None):
     loss_fn = build_loss(args, model)
     optim_cfg = OptimConfig(lr=args.lr, warmup_updates=args.warmup_updates,
                             clip_norm=args.clip_norm)
+    best_metric = args.best_metric or (
+        args.eval_metric if args.eval_metric != "none" else "loss")
     loop_cfg = LoopConfig(max_updates=args.max_updates, patience=args.patience,
-                          save_dir=args.save_dir, seed=args.seed)
+                          save_dir=args.save_dir, seed=args.seed,
+                          best_metric=best_metric,
+                          maximize_metric=best_metric == "bleu")
     trainer = Trainer(loss_fn, optim_cfg, loop_cfg, params,
                       valid_fn=build_valid_fn(
-                          args, model, lambda: make_ds_batches(valid_ds),
-                          loss_fn))
+                          args, model, vocab, valid_ds,
+                          lambda: make_ds_batches(valid_ds), loss_fn))
 
     mesh = make_mesh()
 

@@ -71,12 +71,20 @@ class SpeechDataset:
 
 
 def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
-                 epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                 epoch: int = 0, num_shards: Optional[int] = None,
+                 shard_id: Optional[int] = None
+                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields padded batches with bucketed static shapes:
     feats (B, Tb, F), feat_lengths, target (B, Lb) [with EOS], prev_tokens,
-    ids."""
+    ids.  Multi-host runs shard the manifest by process (mirroring the
+    reference's distributed eval sharding, eval/generate.py:151-152)."""
     cfg = cfg or dataset.cfg
+    if num_shards is None:
+        import jax
+        num_shards, shard_id = jax.process_count(), jax.process_index()
     order = np.argsort([int(r["n_frames"]) for r in dataset.rows])
+    if num_shards > 1:
+        order = order[shard_id::num_shards]
     if cfg.shuffle:
         rng = np.random.RandomState(cfg.seed + epoch)
         # shuffle within length-sorted blocks to keep buckets tight
