@@ -38,6 +38,9 @@ def main(argv=None):
                    help="test-time beta recalibration (cif_agent.py:207-209)")
     p.add_argument("--overshoot-weight", type=float, default=1.0)
     p.add_argument("--max-utterances", type=int, default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="fused device-side chunk steps (one XLA call per "
+                        "chunk incl. all WRITEs)")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -57,9 +60,10 @@ def main(argv=None):
 
     acfg = AgentConfig(overshoot_weight=args.overshoot_weight)
     if args.agent in ("mma", "waitk"):
-        agent = MMAAgent(model, restored, vocab, acfg)
+        agent = MMAAgent(model, restored, vocab, acfg, fused=args.fused)
     else:
-        agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta)
+        agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta,
+                         fused=args.fused)
 
     with open(args.source) as f:
         wav_paths = [l.strip() for l in f if l.strip()]

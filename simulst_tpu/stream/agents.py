@@ -161,15 +161,58 @@ class MMASession(StreamingSession):
         return idx
 
 
+class FusedChunkSession:
+    """Session driving a fused device-side chunk step (stream/fused.py):
+    one XLA call per audio chunk runs READ + all WRITEs."""
+
+    def __init__(self, agent, state, step_fn):
+        self.agent = agent
+        cfg = agent.cfg
+        self.fbank = OnlineFbank(global_cmvn=agent.global_cmvn)
+        self.state = state
+        self.step_fn = step_fn
+        stride_ms = cfg.stride * 10
+        self.first_chunk_ms = (cfg.segment_length // cfg.stride
+                               + cfg.right_context // cfg.stride) * stride_ms + 15
+        self.chunk_ms = (cfg.segment_length // cfg.stride) * stride_ms
+        self.next_chunk_ms = self.first_chunk_ms
+        self.finished = False
+
+    def process_chunk(self, samples: np.ndarray, finished: bool) -> List[int]:
+        feats = self.fbank(samples)
+        x = jnp.asarray(feats)[None] if feats.shape[0] > 0 else None
+        n_before = int(self.state.n_tokens[0])
+        self.state, n_new = self.step_fn(self.state, x, finish=finished)
+        self.next_chunk_ms = self.chunk_ms
+        n_after = int(self.state.n_tokens[0])
+        self.finished = bool(self.state.finished[0]) or \
+            n_after >= self.state.tokens.shape[1] - 1
+        toks = np.asarray(self.state.tokens)[0, n_before:n_after]
+        return [int(t) for t in toks]
+
+
 class MMAAgent(SpeechAgent):
     session_cls = MMASession
 
-    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None):
+    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None,
+                 fused: bool = False):
         super().__init__(model, params, vocab, acfg, global_cmvn)
         cfg = self.cfg
+        self.fused = fused
+        if fused:
+            from simulst_tpu.stream.fused import (make_mma_fused_step,
+                                                  mma_fused_init)
+            self._fused_step = make_mma_fused_step(params, cfg)
+            self._fused_init = lambda: mma_fused_init(
+                params, cfg, self.acfg.max_src_frames, self.acfg.max_tgt_len)
         self.dec_step = jax.jit(
             lambda p, st, tok, buf, n, online: mma_mod.mma_decoder_step(
                 p, cfg, st, tok, buf, n, online))
+
+    def new_session(self):
+        if self.fused:
+            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+        return super().new_session()
 
 
 # ---------------------------------------------------------------------------
@@ -228,7 +271,7 @@ class CIFAgent(SpeechAgent):
     session_cls = CIFSession
 
     def __init__(self, model, params, vocab, acfg=None, global_cmvn=None,
-                 cif_beta: Optional[float] = None):
+                 cif_beta: Optional[float] = None, fused: bool = False):
         if cif_beta is not None:
             # test-time beta recalibration (--model-overrides equivalent,
             # cif_agent.py:207-209)
@@ -237,6 +280,14 @@ class CIFAgent(SpeechAgent):
         super().__init__(model, params, vocab, acfg, global_cmvn)
         cfg = self.cfg
         ow = (acfg or AgentConfig()).overshoot_weight
+        self.fused = fused
+        if fused:
+            from simulst_tpu.stream.fused import (cif_fused_init,
+                                                  make_cif_fused_step)
+            self._fused_step = make_cif_fused_step(params, cfg,
+                                                   overshoot_weight=ow)
+            self._fused_init = lambda: cif_fused_init(
+                params, cfg, self.acfg.max_tgt_len)
 
         import functools
 
@@ -248,3 +299,8 @@ class CIFAgent(SpeechAgent):
         self.dec_step = jax.jit(
             lambda p, st, tok, buf, n: cif_mod.cif_decoder_step(
                 p, cfg, st, tok, buf, n, overshoot_weight=ow))
+
+    def new_session(self):
+        if self.fused:
+            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+        return super().new_session()

@@ -67,6 +67,8 @@ def run_session(agent, waveform: np.ndarray, max_actions: int = 10000
                 ) -> Tuple[List[str], List[float], List[float]]:
     """Drive one utterance; returns (words, delays_ms, elapsed_ms)."""
     session = agent.new_session()
+    if hasattr(session, "process_chunk"):
+        return _run_fused(agent, session, waveform)
     total = len(waveform)
     consumed = 0
     words, delays, elapsed = [], [], []
@@ -104,6 +106,42 @@ def run_session(agent, waveform: np.ndarray, max_actions: int = 10000
             if tok is None:
                 force_read = True
                 continue
+            if tok == EOS:
+                break
+            piece = agent.vocab.symbols[tok]
+            if piece.startswith(BOW_PREFIX) and unit_buf:
+                flush_word()
+            unit_buf.append(piece)
+    flush_word()
+    return words, delays, elapsed
+
+
+def _run_fused(agent, session, waveform: np.ndarray):
+    """Chunk-level driver for fused device-side sessions: one call per chunk,
+    word/delay bookkeeping identical to the step-wise protocol (tokens are
+    committed at the chunk on which they were emitted)."""
+    total = len(waveform)
+    consumed = 0
+    words, delays, elapsed = [], [], []
+    unit_buf: List[str] = []
+    t0 = time.perf_counter()
+
+    def flush_word():
+        if unit_buf:
+            w = "".join(unit_buf).replace(BOW_PREFIX, "").strip()
+            if w:
+                words.append(w)
+                delays.append(consumed / SAMPLE_RATE * 1000.0)
+                elapsed.append((time.perf_counter() - t0) * 1000.0
+                               + consumed / SAMPLE_RATE * 1000.0)
+            unit_buf.clear()
+
+    while consumed < total and not session.finished:
+        n = int(session.next_chunk_ms / 1000.0 * SAMPLE_RATE)
+        chunk = waveform[consumed: consumed + n]
+        consumed = min(consumed + n, total)
+        new_tokens = session.process_chunk(chunk, finished=consumed >= total)
+        for tok in new_tokens:
             if tok == EOS:
                 break
             piece = agent.vocab.symbols[tok]
