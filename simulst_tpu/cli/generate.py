@@ -8,9 +8,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

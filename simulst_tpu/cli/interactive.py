@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--cmvn", default="utterance", choices=["utterance", "none"])
+    p.add_argument("--task", default="speech", choices=["speech", "mt"],
+                   help="speech: stdin lines are wav paths; mt: raw text")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
 
@@ -47,16 +49,22 @@ def main(argv=None):
     beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_len)
 
     for i, line in enumerate(sys.stdin):
-        path = line.strip()
-        if not path:
+        line = line.strip()
+        if not line:
             continue
-        wav, sr = read_wav(path)
-        feats = fbank_np(wav * 2 ** 15)
-        if args.cmvn == "utterance":
-            feats = utterance_cmvn(feats)
-        batch = {"feats": feats[None], "feat_lengths":
-                 np.array([feats.shape[0]], np.int32)}
-        tokens, lengths = decode_batch(model, restored, batch, beam_cfg)
+        if args.task == "mt":
+            from simulst_tpu.cli.generate import decode_batch_mt
+            src = np.asarray([vocab.encode(line)], np.int32)
+            tokens, lengths = decode_batch_mt(model, restored,
+                                              {"src_tokens": src}, beam_cfg)
+        else:
+            wav, sr = read_wav(line)
+            feats = fbank_np(wav * 2 ** 15)
+            if args.cmvn == "utterance":
+                feats = utterance_cmvn(feats)
+            batch = {"feats": feats[None], "feat_lengths":
+                     np.array([feats.shape[0]], np.int32)}
+            tokens, lengths = decode_batch(model, restored, batch, beam_cfg)
         ids = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]
                if t != EOS]
         print(f"H-{i}\t{vocab.decode_ids(ids)}", flush=True)

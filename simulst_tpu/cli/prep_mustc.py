@@ -2,7 +2,6 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 from simulst_tpu.data import mustc
 
@@ -15,6 +14,9 @@ def main(argv=None):
     p.add_argument("--vocab-size", type=int, default=4096)
     p.add_argument("--splits", nargs="+", default=mustc.SPLITS)
     p.add_argument("--task", default="st", choices=["st", "asr"])
+    p.add_argument("--long-seconds", nargs="*", type=float, default=[],
+                   help="also build N-second long-utterance robustness "
+                        "splits from tst-COMMON (reference: 20 40 60)")
     args = p.parse_args(argv)
 
     train_rows = None
@@ -24,6 +26,11 @@ def main(argv=None):
         if split == "train":
             train_rows = rows
         print(f"{split}: {len(rows)} utterances")
+    for secs in args.long_seconds:
+        n = mustc.process_long_split(args.data_root, "tst-COMMON",
+                                     args.out_dir, secs,
+                                     tgt_lang=args.tgt_lang)
+        print(f"tst-COMMON-{int(secs)}s: {n} long utterances")
     if train_rows:
         fields = ("src_text",) if args.task == "asr" else ("tgt_text",)
         mustc.build_vocab(train_rows, args.out_dir, args.vocab_size, fields)

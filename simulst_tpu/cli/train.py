@@ -14,7 +14,6 @@ Tasks (reference tasks/speech_to_text_infer.py):
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 
 import jax
@@ -106,7 +105,8 @@ def build_valid_fn(args, model, vocab, valid_ds, batches_fn, lcfg_loss_fn):
             loss, metrics = lcfg_loss_fn(params, jb, None)
             total += float(metrics["loss"])
             n += float(metrics["sample_size"])
-            if args.eval_metric != "none" and ids is not None:
+            if args.eval_metric != "none" and ids is not None \
+                    and args.task != "mt":
                 from simulst_tpu.cli.generate import decode_batch
                 from simulst_tpu.decode.beam import BeamConfig
                 import numpy as _np
@@ -158,6 +158,9 @@ def main(argv=None):
     p.add_argument("--load-params", default=None,
                    help="orbax checkpoint to init params from")
     p.add_argument("--load-pretrained-encoder-from", default=None)
+    p.add_argument("--encoder-freezing-updates", type=int, default=0,
+                   help="zero encoder grads for the first N updates "
+                        "(reference s2t_emformer.py:117-123)")
     p.add_argument("--override", action="append", default=[],
                    help="model config overrides key=value")
     p.add_argument("--loss-override", action="append", default=[])
@@ -225,10 +228,13 @@ def main(argv=None):
                           save_dir=args.save_dir, seed=args.seed,
                           best_metric=best_metric,
                           maximize_metric=best_metric == "bleu")
+    freeze = ({"encoder": args.encoder_freezing_updates}
+              if args.encoder_freezing_updates > 0 else None)
     trainer = Trainer(loss_fn, optim_cfg, loop_cfg, params,
                       valid_fn=build_valid_fn(
                           args, model, vocab, valid_ds,
-                          lambda: make_ds_batches(valid_ds), loss_fn))
+                          lambda: make_ds_batches(valid_ds), loss_fn),
+                      freeze_until=freeze)
 
     mesh = make_mesh()
 

@@ -143,6 +143,42 @@ def build_long_utterances(segments: List[Dict], min_seconds: float
     return groups
 
 
+def process_long_split(root: str, split: str, out_dir: str,
+                       min_seconds: float, src_lang: str = "en",
+                       tgt_lang: str = "de"):
+    """Build a long-utterance robustness split: concatenate consecutive
+    segments to >= min_seconds, write per-group wavs + wav_list + reference
+    (reference seg_mustc_data.py + docs/simuleval_instruction.md)."""
+    from scipy.io import wavfile
+    segments = parse_segments(root, split, src_lang, tgt_lang)
+    groups = build_long_utterances(segments, min_seconds)
+    tag = f"{split}-{int(min_seconds)}s"
+    wav_dir = os.path.join(out_dir, tag + "_wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    wav_list, refs = [], []
+    cache: Dict[str, np.ndarray] = {}
+    for gi, group in enumerate(groups):
+        wp = group[0]["wav_path"]
+        if wp not in cache:
+            cache.clear()  # one file at a time (groups are wav-contiguous)
+            cache[wp], _ = read_wav(wp)
+        data = cache[wp]
+        parts = []
+        for s in group:
+            a = int(float(s["offset"]) * SAMPLE_RATE)
+            parts.append(data[a:a + int(float(s["duration"]) * SAMPLE_RATE)])
+        wav = np.concatenate(parts)
+        path = os.path.join(wav_dir, f"{tag}_{gi}.wav")
+        wavfile.write(path, SAMPLE_RATE, (wav * 32767).astype(np.int16))
+        wav_list.append(os.path.abspath(path))
+        refs.append(" ".join(s["tgt_text"] for s in group))
+    with open(os.path.join(out_dir, tag + ".wav_list"), "w") as f:
+        f.write("\n".join(wav_list) + "\n")
+    with open(os.path.join(out_dir, f"{tag}.{tgt_lang}"), "w") as f:
+        f.write("\n".join(refs) + "\n")
+    return len(groups)
+
+
 def write_simul_lists(rows: List[Dict[str, str]], wav_dir: str, out_prefix: str,
                       tgt_lang: str = "de"):
     """Write {split}.wav_list + {split}.{lang} for streaming eval

@@ -7,7 +7,6 @@ the same static-shape bucketing as speech.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

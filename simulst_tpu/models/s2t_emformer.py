@@ -58,6 +58,10 @@ class S2TEmformerConfig:
     padding_idx: int = 1
     eos_idx: int = 2
     blank_idx: int = 0
+    # activations dtype for matmul-heavy paths; params stay fp32 and are
+    # cast per-op (the reference's fp16 flag analog, bf16 needs no loss
+    # scaling). LayerNorm/softmax compute fp32 internally regardless.
+    compute_dtype: str = "float32"
 
     @property
     def stride(self) -> int:
@@ -92,7 +96,8 @@ class S2TEmformerConfig:
             padding_idx=self.padding_idx, eos_idx=self.eos_idx,
             encoder_embed_dim=self.embed_dim,
             max_target_positions=self.max_target_positions,
-            no_scale_embedding=self.no_scale_embedding)
+            no_scale_embedding=self.no_scale_embedding,
+            compute_dtype=self.compute_dtype)
 
 
 class EncoderOut(NamedTuple):
@@ -132,6 +137,7 @@ def encoder_forward(params, cfg: S2TEmformerConfig, feats, feat_lengths, *,
                     rng=None, deterministic=True) -> EncoderOut:
     """Offline / training forward. feats: (B, T, F)."""
     ecfg = cfg.emformer
+    feats = feats.astype(cfg.compute_dtype)
     x, lengths = cnv.subsampler_apply(params["subsample"], feats, feat_lengths)
     x = cfg.embed_scale * x
     x = x + cnv.conv_pos_apply(params["conv_pos"], x, cfg.conv_pos_groups)

@@ -37,6 +37,7 @@ class DecoderConfig:
     encoder_embed_dim: int = 256
     max_target_positions: int = 1024
     no_scale_embedding: bool = False
+    compute_dtype: str = "float32"
 
     @property
     def embed_scale(self) -> float:
@@ -195,7 +196,8 @@ def _pos_table(cfg: DecoderConfig):
 
 
 def decoder_embed(p, cfg: DecoderConfig, tokens, positions, rngs, deterministic):
-    x = cfg.embed_scale * embedding(p["embed_tokens"], tokens)
+    x = cfg.embed_scale * embedding(p["embed_tokens"], tokens,
+                                    dtype=cfg.compute_dtype)
     table = _pos_table(cfg)
     x = x + table[positions].astype(x.dtype)
     return dropout(_next(rngs), x, cfg.dropout, deterministic)

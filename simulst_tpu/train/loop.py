@@ -41,12 +41,14 @@ class LoopConfig:
 class Trainer:
     def __init__(self, loss_fn: Callable, optim_cfg: OptimConfig,
                  loop_cfg: LoopConfig, params,
-                 valid_fn: Optional[Callable] = None):
+                 valid_fn: Optional[Callable] = None,
+                 freeze_until: Optional[Dict[str, int]] = None):
         """loss_fn(params, batch, rng) -> (loss, metrics);
         valid_fn(params) -> dict of metrics (must include loop best_metric)."""
         self.loop_cfg = loop_cfg
         self.state = create_train_state(params, optim_cfg)
-        self.train_step = jax.jit(make_train_step(loss_fn, optim_cfg))
+        self.train_step = jax.jit(make_train_step(loss_fn, optim_cfg,
+                                                  freeze_until=freeze_until))
         self.valid_fn = valid_fn
         self.best = None
         self.bad_epochs = 0

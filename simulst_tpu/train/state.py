@@ -10,7 +10,7 @@ XLA from the shardings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,8 @@ def create_train_state(params, optim_cfg: OptimConfig) -> TrainState:
 
 
 def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
-                    update_freq: int = 1):
+                    update_freq: int = 1,
+                    freeze_until: Optional[Dict[str, int]] = None):
     """loss_fn(params, batch, rng) -> (loss, metrics).
 
     Returns train_step(state, batch, rng) -> (state, metrics).  When
@@ -41,6 +42,10 @@ def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
     weighted by sample_size (fairseq semantics: grads summed, then divided
     by total sample_size — loss_fn must return SUM losses and a
     'sample_size' metric).
+
+    freeze_until: {component: n_updates} zeroes that top-level component's
+    gradients while step < n (the reference's --encoder-freezing-updates,
+    s2t_emformer.py:117-123).
     """
     tx = make_optimizer(optim_cfg)
 
@@ -72,6 +77,12 @@ def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
         # aggregated sample size before the optimizer step)
         denom = jnp.maximum(metrics["sample_size"].astype(jnp.float32), 1.0)
         grads = jax.tree.map(lambda g: g / denom, grads)
+        if freeze_until:
+            grads = dict(grads)
+            for comp, n in freeze_until.items():
+                frozen = state.step < n
+                grads[comp] = jax.tree.map(
+                    lambda g: jnp.where(frozen, 0.0, g), grads[comp])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)

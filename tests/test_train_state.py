@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simulst_tpu.train.optim import OptimConfig, inverse_sqrt_schedule
+from simulst_tpu.train.state import create_train_state, make_train_step
+
+
+def _toy():
+    params = {"encoder": {"w": jnp.ones((4,))}, "decoder": {"w": jnp.ones((4,))}}
+
+    def loss_fn(p, batch, rng):
+        loss = ((p["encoder"]["w"] * batch["x"]).sum()
+                + (p["decoder"]["w"] * batch["x"]).sum()) ** 2
+        return loss, {"loss": loss, "sample_size": jnp.asarray(1)}
+    return params, loss_fn
+
+
+def test_encoder_freeze_until():
+    params, loss_fn = _toy()
+    ocfg = OptimConfig(lr=0.1, warmup_updates=2, clip_norm=0.0)
+    step = make_train_step(loss_fn, ocfg, freeze_until={"encoder": 2})
+    state = create_train_state(params, ocfg)
+    batch = {"x": jnp.ones((4,))}
+    rng = jax.random.PRNGKey(0)
+    enc0 = np.asarray(state.params["encoder"]["w"])
+    for i in range(3):
+        enc_before = np.asarray(state.params["encoder"]["w"])
+        dec_before = np.asarray(state.params["decoder"]["w"])
+        state, m = step(state, batch, rng)
+        if i < 2:
+            np.testing.assert_array_equal(
+                np.asarray(state.params["encoder"]["w"]), enc_before)
+        else:
+            assert not np.allclose(
+                np.asarray(state.params["encoder"]["w"]), enc_before)
+        assert not np.allclose(
+            np.asarray(state.params["decoder"]["w"]), dec_before)
+
+
+def test_update_freq_accumulation_matches_big_batch():
+    params, loss_fn = _toy()
+    ocfg = OptimConfig(lr=0.01, warmup_updates=100, clip_norm=0.0)
+    rng = jax.random.PRNGKey(0)
+
+    # microbatched: 2 microbatches stacked on axis 0
+    step2 = make_train_step(loss_fn, ocfg, update_freq=2)
+    s2 = create_train_state(params, ocfg)
+    mb = {"x": jnp.stack([jnp.ones((4,)), 2 * jnp.ones((4,))])}
+    s2, m2 = step2(s2, mb, rng)
+
+    # equivalent single step whose grads/sample_size sum the two microbatches
+    def big_loss(p, batch, rng):
+        l1, m1 = loss_fn(p, {"x": batch["x"][0]}, rng)
+        l2, mm = loss_fn(p, {"x": batch["x"][1]}, rng)
+        return l1 + l2, {"loss": l1 + l2, "sample_size": jnp.asarray(2)}
+
+    step1 = make_train_step(big_loss, ocfg)
+    s1 = create_train_state(params, ocfg)
+    s1, m1 = step1(s1, mb, rng)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_inverse_sqrt_schedule():
+    cfg = OptimConfig(lr=1e-3, warmup_updates=100, warmup_init_lr=1e-7)
+    sched = inverse_sqrt_schedule(cfg)
+    assert float(sched(0)) < float(sched(50)) < float(sched(98))
+    # after warmup: lr * sqrt(warmup/step)
+    np.testing.assert_allclose(float(sched(399)), 1e-3 * (100 / 400) ** 0.5,
+                               rtol=1e-5)
