@@ -56,7 +56,8 @@ def build_loss(args, model):
             logits, extra = model.forward(
                 params, batch["feats"], batch["feat_lengths"],
                 batch["prev_tokens"], rng=rng, deterministic=False)
-            return joint_ctc_loss(logits, extra, batch["target"], lcfg)
+            return joint_ctc_loss(logits, extra, batch["target"], lcfg,
+                                  ctc_target=batch.get("src_target"))
     elif args.loss == "mma":
         lcfg = cfglib.apply_overrides(MMALossConfig(), args.loss_overrides)
 
@@ -153,6 +154,9 @@ def main(argv=None):
     p.add_argument("--clip-norm", type=float, default=10.0)
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--mtl", action="store_true",
+                   help="multi-task: CE on translations + CTC on transcripts "
+                        "(--do-mtl parity)")
     p.add_argument("--specaugment", action="store_true", default=True)
     p.add_argument("--no-specaugment", dest="specaugment", action="store_false")
     p.add_argument("--load-params", default=None,
@@ -200,9 +204,11 @@ def main(argv=None):
         args.specaugment = False
     else:
         train_rows = filter_by_frames(train_rows)
-        train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field)
+        mtl = args.mtl and args.task == "st"
+        train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field,
+                                 mtl_src=mtl)
         valid_ds = SpeechDataset(valid_rows, vocab, dataclasses_replace(
-            bcfg, shuffle=False), target_field)
+            bcfg, shuffle=False), target_field, mtl_src=mtl)
         make_ds_batches = lambda ds, epoch=0: make_batches(ds, epoch=epoch)
 
     # model
@@ -234,7 +240,7 @@ def main(argv=None):
                       valid_fn=build_valid_fn(
                           args, model, vocab, valid_ds,
                           lambda: make_ds_batches(valid_ds), loss_fn),
-                      freeze_until=freeze)
+                      freeze_until=freeze, update_freq=args.update_freq)
 
     mesh = make_mesh()
 

@@ -49,12 +49,17 @@ class SpeechDataset:
 
     def __init__(self, rows: List[Dict[str, str]], vocab: Vocabulary,
                  cfg: BatcherConfig, target_field: str = "tgt_text",
-                 global_stats=None):
+                 global_stats=None, mtl_src: bool = False):
+        """mtl_src: also emit transcript token targets (`src_target`) so a
+        criterion can put CTC on transcripts while CE trains on translations
+        (the reference's --do-mtl keeps src_txt_tokens in the sample,
+        tasks/speech_to_text_infer.py:63-111)."""
         self.rows = rows
         self.vocab = vocab
         self.cfg = cfg
         self.target_field = target_field
         self.global_stats = global_stats
+        self.mtl_src = mtl_src
 
     def __len__(self):
         return len(self.rows)
@@ -67,7 +72,9 @@ class SpeechDataset:
         elif self.cfg.cmvn == "global" and self.global_stats is not None:
             feats = global_cmvn(feats, self.global_stats)
         target = self.vocab.encode(r[self.target_field], append_eos=True)
-        return feats, np.asarray(target, np.int32), r["id"]
+        src = (self.vocab.encode(r["src_text"], append_eos=True)
+               if self.mtl_src else None)
+        return feats, np.asarray(target, np.int32), r["id"], src
 
 
 def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
@@ -110,8 +117,8 @@ def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
 def _collate(dataset: SpeechDataset, idxs, cfg: BatcherConfig):
     examples = [dataset.example(i) for i in idxs]
     feat_dim = examples[0][0].shape[1]
-    tb = _bucket(max(f.shape[0] for f, _, _ in examples), cfg.frame_buckets)
-    lb = _bucket(max(len(t) for _, t, _ in examples), cfg.token_buckets)
+    tb = _bucket(max(f.shape[0] for f, _, _, _ in examples), cfg.frame_buckets)
+    lb = _bucket(max(len(t) for _, t, _, _ in examples), cfg.token_buckets)
     bsz = len(examples)
     b_pad = -(-bsz // cfg.batch_multiple) * cfg.batch_multiple
 
@@ -120,7 +127,7 @@ def _collate(dataset: SpeechDataset, idxs, cfg: BatcherConfig):
     target = np.full((b_pad, lb), PAD, np.int32)
     prev = np.full((b_pad, lb), PAD, np.int32)
     ids = []
-    for j, (f, t, uid) in enumerate(examples):
+    for j, (f, t, uid, _) in enumerate(examples):
         n = min(f.shape[0], tb)
         feats[j, :n] = f[:n]
         feat_lengths[j] = n
@@ -132,5 +139,15 @@ def _collate(dataset: SpeechDataset, idxs, cfg: BatcherConfig):
         ids.append(uid)
     # padded (dummy) rows keep feat_lengths=0 / all-PAD targets: they
     # contribute zero to sum losses and sample_size.
-    return {"feats": feats, "feat_lengths": feat_lengths, "target": target,
-            "prev_tokens": prev, "ids": ids, "n_real": bsz}
+    batch = {"feats": feats, "feat_lengths": feat_lengths, "target": target,
+             "prev_tokens": prev, "ids": ids, "n_real": bsz}
+    if dataset.mtl_src:
+        sb = _bucket(max(len(s) for _, _, _, s in examples), cfg.token_buckets)
+        src_target = np.full((b_pad, sb), PAD, np.int32)
+        for j, (_, _, _, s) in enumerate(examples):
+            L = min(len(s), sb)
+            ss = np.asarray(s[:L], np.int32)
+            ss[-1] = EOS
+            src_target[j, :L] = ss
+        batch["src_target"] = src_target
+    return batch

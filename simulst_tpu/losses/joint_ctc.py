@@ -53,17 +53,21 @@ def smoothed_ctc_loss(ctc_logits, encoder_lengths, target, cfg: JointCTCConfig):
     return (1.0 - cfg.label_smoothing) * nll + eps_i * smooth, nll
 
 
-def joint_ctc_loss(logits, extra, target, cfg: JointCTCConfig):
+def joint_ctc_loss(logits, extra, target, cfg: JointCTCConfig,
+                   ctc_target=None):
     """logits: (B, T, V) decoder output; extra: dict with ctc_logits (or None)
     and encoder_lengths; target: (B, T) with EOS, right-padded.
+    ctc_target: optional separate CTC targets (e.g. transcripts for the MTL
+    setting — CE on translations, CTC on transcripts).
 
     Returns (loss, metrics dict). Sum reduction; caller divides by ntokens.
     """
     loss, nll = ce_loss(logits, target, cfg.label_smoothing, cfg.padding_idx)
     metrics = {"nll_loss": nll}
     if extra.get("ctc_logits") is not None and cfg.ctc_factor != 0.0:
-        closs, cnll = smoothed_ctc_loss(extra["ctc_logits"],
-                                        extra["encoder_lengths"], target, cfg)
+        closs, cnll = smoothed_ctc_loss(
+            extra["ctc_logits"], extra["encoder_lengths"],
+            target if ctc_target is None else ctc_target, cfg)
         loss = loss + cfg.ctc_factor * closs
         metrics["ctc_loss"] = closs
         # blank rate of the greedy CTC path (reference :92-105)

@@ -42,13 +42,21 @@ class Trainer:
     def __init__(self, loss_fn: Callable, optim_cfg: OptimConfig,
                  loop_cfg: LoopConfig, params,
                  valid_fn: Optional[Callable] = None,
-                 freeze_until: Optional[Dict[str, int]] = None):
+                 freeze_until: Optional[Dict[str, int]] = None,
+                 update_freq: int = 1):
         """loss_fn(params, batch, rng) -> (loss, metrics);
         valid_fn(params) -> dict of metrics (must include loop best_metric)."""
         self.loop_cfg = loop_cfg
+        self.update_freq = update_freq
         self.state = create_train_state(params, optim_cfg)
-        self.train_step = jax.jit(make_train_step(loss_fn, optim_cfg,
-                                                  freeze_until=freeze_until))
+        if update_freq > 1:
+            from simulst_tpu.train.state import make_accum_train_step
+            self.grad_step, self.apply_step = make_accum_train_step(
+                loss_fn, optim_cfg, freeze_until)
+            self.train_step = None
+        else:
+            self.train_step = jax.jit(make_train_step(
+                loss_fn, optim_cfg, freeze_until=freeze_until))
         self.valid_fn = valid_fn
         self.best = None
         self.bad_epochs = 0
@@ -95,12 +103,30 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         t0 = time.time()
         updates = 0
+        accum_grads, accum_metrics, n_accum = None, None, 0
         for epoch in range(cfg.max_epochs):
             for batch in batch_iter_fn(epoch):
                 rng, sub = jax.random.split(rng)
                 ids = batch.pop("ids", None)
                 batch.pop("n_real", None)
-                self.state, metrics = self.train_step(self.state, batch, sub)
+                if self.update_freq > 1:
+                    grads, metrics = self.grad_step(self.state.params,
+                                                    batch, sub)
+                    if accum_grads is None:
+                        accum_grads, accum_metrics = grads, metrics
+                    else:
+                        accum_grads = jax.tree.map(jnp.add, accum_grads, grads)
+                        accum_metrics = jax.tree.map(jnp.add, accum_metrics,
+                                                     metrics)
+                    n_accum += 1
+                    if n_accum < self.update_freq:
+                        continue
+                    self.state, metrics = self.apply_step(
+                        self.state, accum_grads, accum_metrics)
+                    accum_grads, accum_metrics, n_accum = None, None, 0
+                else:
+                    self.state, metrics = self.train_step(self.state, batch,
+                                                          sub)
                 updates += 1
                 if updates % cfg.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -91,3 +91,40 @@ def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
                           step=state.step + 1), metrics
 
     return train_step
+
+
+def make_accum_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
+                          freeze_until: Optional[Dict[str, int]] = None):
+    """Host-orchestrated gradient accumulation for bucketed batches whose
+    shapes differ across microbatches (fairseq --update-freq semantics:
+    grads summed over microbatches, normalized by total sample_size).
+
+    Returns (grad_step, apply_step):
+      grad_step(params, batch, rng) -> (grads, metrics)        [jit per shape]
+      apply_step(state, grads, metrics) -> (state, metrics)    [jit once]
+    """
+    tx = make_optimizer(optim_cfg)
+
+    @jax.jit
+    def grad_step(params, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        return grads, metrics
+
+    @jax.jit
+    def apply_step(state: TrainState, grads, metrics):
+        denom = jnp.maximum(metrics["sample_size"].astype(jnp.float32), 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        if freeze_until:
+            grads = dict(grads)
+            for comp, n in freeze_until.items():
+                frozen = state.step < n
+                grads[comp] = jax.tree.map(
+                    lambda g: jnp.where(frozen, 0.0, g), grads[comp])
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, gnorm=optax.global_norm(grads))
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return grad_step, apply_step

@@ -66,3 +66,22 @@ def test_wer_and_bleu():
     assert wer(refs, refs) == 0.0
     assert wer(["a b c"], ["a x c"]) == 100.0 / 3
     assert corpus_bleu(refs, refs) > 99.0
+
+
+def test_mtl_src_targets(tmp_path):
+    from simulst_tpu.data.dataset import SpeechDataset, make_batches
+    feats = {"u0": np.random.randn(40, 8).astype(np.float32)}
+    zp = str(tmp_path / "m.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    rows = [{"id": "u0", "audio": specs["u0"], "n_frames": "40",
+             "src_text": "a b c", "tgt_text": "x y", "speaker": "s"}]
+    v = Vocabulary.build(["a b c", "x y"], vocab_size=12)
+    cfg = BatcherConfig(max_tokens=1000, shuffle=False, batch_multiple=1,
+                        frame_buckets=(64,), token_buckets=(8,))
+    ds = SpeechDataset(rows, v, cfg, "tgt_text", mtl_src=True)
+    batch = next(make_batches(ds))
+    assert "src_target" in batch
+    assert batch["src_target"].shape[0] == batch["target"].shape[0]
+    # src has 3 words + eos, tgt has 2 + eos
+    assert (batch["src_target"][0] != PAD).sum() == 4
+    assert (batch["target"][0] != PAD).sum() == 3

@@ -69,3 +69,34 @@ def test_inverse_sqrt_schedule():
     # after warmup: lr * sqrt(warmup/step)
     np.testing.assert_allclose(float(sched(399)), 1e-3 * (100 / 400) ** 0.5,
                                rtol=1e-5)
+
+
+def test_trainer_update_freq_host_accumulation(tmp_path):
+    """Trainer with update_freq=2 over differently-shaped batches equals a
+    single step over their union."""
+    from simulst_tpu.train.loop import LoopConfig, Trainer
+    params, loss_fn = _toy()
+    ocfg = OptimConfig(lr=0.01, warmup_updates=100, clip_norm=0.0)
+    lcfg = LoopConfig(max_updates=1, log_interval=1000,
+                      validate_interval_updates=10000,
+                      save_dir=str(tmp_path / "a"))
+
+    b1 = {"x": jnp.ones((4,))}
+    b2 = {"x": 2 * jnp.ones((4,))}
+
+    tr = Trainer(loss_fn, ocfg, lcfg, params, update_freq=2)
+    tr.fit(lambda epoch: iter([dict(b1), dict(b2)]))
+
+    def big_loss(p, batch, rng):
+        l1, _ = loss_fn(p, b1, rng)
+        l2, _ = loss_fn(p, b2, rng)
+        return l1 + l2, {"loss": l1 + l2, "sample_size": jnp.asarray(2)}
+
+    tr1 = Trainer(big_loss, ocfg,
+                  LoopConfig(max_updates=1, log_interval=1000,
+                             validate_interval_updates=10000,
+                             save_dir=str(tmp_path / "b")), params)
+    tr1.fit(lambda epoch: iter([dict(b1)]))
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
