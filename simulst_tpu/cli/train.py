@@ -161,6 +161,8 @@ def main(argv=None):
     p.add_argument("--no-specaugment", dest="specaugment", action="store_false")
     p.add_argument("--load-params", default=None,
                    help="orbax checkpoint to init params from")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint_resume path (params + optimizer + step)")
     p.add_argument("--load-pretrained-encoder-from", default=None)
     p.add_argument("--encoder-freezing-updates", type=int, default=0,
                    help="zero encoder grads for the first N updates "
@@ -241,6 +243,9 @@ def main(argv=None):
                           args, model, vocab, valid_ds,
                           lambda: make_ds_batches(valid_ds), loss_fn),
                       freeze_until=freeze, update_freq=args.update_freq)
+    if args.resume:
+        start = trainer.resume(args.resume)
+        print(f"resumed from {args.resume} at update {start}")
 
     mesh = make_mesh()
 

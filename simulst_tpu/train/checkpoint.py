@@ -19,21 +19,26 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    payload = {"state": state}
-    if metadata:
-        payload["metadata"] = metadata
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, {"state": state, "metadata": metadata or {}}, force=True)
 
 
 def load_checkpoint(path: str, template=None):
+    """Restore (state, metadata). `template` (a matching pytree) recasts the
+    restored leaves to the template's dtypes/structure (restored leaves are
+    plain numpy otherwise, which is fine for most uses)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    state = restored["state"]
+    meta = restored.get("metadata") or None
     if template is not None:
-        restored = ckptr.restore(os.path.abspath(path),
-                                 item={"state": template, "metadata": None})
-    else:
-        restored = ckptr.restore(os.path.abspath(path))
-    return restored["state"], restored.get("metadata")
+        flat_t, treedef = jax.tree.flatten(template)
+        flat_s = jax.tree.leaves(state)
+        if len(flat_t) == len(flat_s):
+            state = jax.tree.unflatten(
+                treedef, [jnp.asarray(s, t.dtype if hasattr(t, "dtype") else None)
+                          for s, t in zip(flat_s, flat_t)])
+    return state, meta
 
 
 BEST_RE = re.compile(r"checkpoint\.best_(?P<metric>[^_]+)_(?P<value>[0-9.]+?)(\.pt)?$")

@@ -102,7 +102,7 @@ class Trainer:
         cfg = self.loop_cfg
         rng = jax.random.PRNGKey(cfg.seed)
         t0 = time.time()
-        updates = 0
+        updates = int(self.state.step)   # nonzero after resume()
         accum_grads, accum_metrics, n_accum = None, None, 0
         for epoch in range(cfg.max_epochs):
             for batch in batch_iter_fn(epoch):
@@ -146,8 +146,29 @@ class Trainer:
         return self.state
 
     def validate(self, updates: int):
+        self.save_last()
         if self.valid_fn is None:
             return
         metrics = self.valid_fn(self.state.params)
         self.log({"valid_update": updates, **metrics})
         self._maybe_save_best(metrics)
+
+    def save_last(self):
+        """Full resumable state (params + optimizer + step), the fairseq
+        checkpoint_last equivalent."""
+        save_checkpoint(os.path.join(self.loop_cfg.save_dir, "checkpoint_resume"),
+                        {"params": self.state.params,
+                         "opt_state": self.state.opt_state,
+                         "step": self.state.step})
+
+    def resume(self, path: str):
+        from simulst_tpu.train.checkpoint import load_checkpoint
+        template = {"params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step}
+        restored, _ = load_checkpoint(path, template=template)
+        from simulst_tpu.train.state import TrainState
+        self.state = TrainState(params=restored["params"],
+                                opt_state=restored["opt_state"],
+                                step=restored["step"])
+        return int(restored["step"])

@@ -38,3 +38,23 @@ def test_segmented_no_mem():
     out_d, _ = emf.emformer_forward(params, cfg_dense, x, lens)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_cfg()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = emf.emformer_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, 20 + cfg.right_context, cfg.input_dim))
+    lens = jnp.array([20, 14])
+
+    def loss(p, c):
+        out, _ = emf.emformer_forward(p, c, x, lens)
+        return (out ** 2).sum()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, cfg_r))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -125,3 +125,47 @@ def test_offline_decode_runs(tiny_data):
                                        BeamConfig(beam_size=beam, max_len=8))
         assert tokens.shape[0] == batch["feats"].shape[0]
         assert np.asarray(lengths).min() >= 1
+
+
+def test_resume_roundtrip(tiny_data, tmp_path):
+    """Training N steps == training N/2, resuming, training N/2 more."""
+    root, rows, vocab = tiny_data
+    model = _model(vocab)
+    params = model.init(jax.random.PRNGKey(0))
+    lcfg = JointCTCConfig(ctc_factor=0.0)
+
+    def loss_fn(p, batch, rng):
+        logits, extra = model.forward(p, batch["feats"], batch["feat_lengths"],
+                                      batch["prev_tokens"], rng=None,
+                                      deterministic=True)
+        return joint_ctc_loss(logits, extra, batch["target"], lcfg)
+
+    bcfg = BatcherConfig(max_tokens=4000, shuffle=False, batch_multiple=1,
+                         frame_buckets=(64,), token_buckets=(8,))
+    ds = SpeechDataset(rows, vocab, bcfg)
+
+    def batches(epoch):
+        for b in make_batches(ds, epoch=epoch):
+            b.pop("ids"); b.pop("n_real")
+            yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    ocfg = OptimConfig(lr=1e-3, warmup_updates=4, clip_norm=1.0)
+    mk = lambda n, d: Trainer(loss_fn, ocfg,
+                              LoopConfig(max_updates=n, log_interval=1000,
+                                         validate_interval_updates=10**6,
+                                         save_dir=str(tmp_path / d)), params)
+    tr_full = mk(8, "full")
+    tr_full.fit(batches)
+
+    tr_half = mk(4, "half")
+    tr_half.fit(batches)
+    tr_half.save_last()
+
+    tr_res = mk(8, "res")
+    tr_res.resume(str(tmp_path / "half" / "checkpoint_resume"))
+    tr_res.fit(batches)
+
+    for a, b in zip(jax.tree.leaves(tr_full.state.params),
+                    jax.tree.leaves(tr_res.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
