@@ -242,6 +242,7 @@ def main(argv=None):
             ref = rows[i][target_field]
             refs.append(ref)
             hyps.append(hyp)
+            lines.append(f"S-{i}\t{rows[i].get('src_text', '')}")
             lines.append(f"T-{i}\t{ref}")
             lines.append(f"D-{i}\t0.0\t{hyp}")
 

@@ -31,7 +31,7 @@ from simulst_tpu.models import get_model
 from simulst_tpu.ops.specaugment import spec_augment
 from simulst_tpu.train.checkpoint import save_checkpoint
 from simulst_tpu.train.loop import LoopConfig, Trainer
-from simulst_tpu.train.mesh import make_mesh, replicate, shard_batch
+from simulst_tpu.train.mesh import make_mesh, shard_batch
 from simulst_tpu.train.optim import OptimConfig
 
 

@@ -24,6 +24,17 @@ SPLITS = ["train", "dev", "tst-COMMON", "tst-HE"]
 SAMPLE_RATE = 16000
 
 
+import re
+
+_NOISE_TAG = re.compile(r"\([A-Z][a-zA-Z ]*\)")  # e.g. (Applause), (Laughter)
+
+
+def strip_noise_tags(text: str) -> str:
+    """Remove parenthesized event tags from transcripts (the reference ships
+    DATA/mustc/mustc_noise.list enumerating such tags)."""
+    return " ".join(_NOISE_TAG.sub(" ", text).split())
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
     sr, data = wavfile.read(path)

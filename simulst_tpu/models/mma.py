@@ -115,9 +115,12 @@ def _energy(p, cfg: MMAConfig, query, key, which: str, key_padding_mask=None,
 
 def _pool_keys(cfg: MMAConfig, key, src_len):
     """Fixed pre-decision pooling (reference fixed_pre_decision.py:31-54).
-    key: (B, S, D) -> (B, ceil(S/r), D) ceil-mode average over VALID frames
-    within each window (invalid frames excluded like torch AvgPool over the
-    shorter trailing window; mid-sequence windows are always full)."""
+    key: (B, S, D) -> (B, ceil(S/r), D) ceil-mode average.
+
+    Deliberate deviation: frames beyond src_len are ZEROED before pooling;
+    the reference pools whatever garbage sits at padded positions (and then
+    only drops pooled windows that are >30% pad).  Identical at inference
+    (B=1, no padding); cleaner for padded training batches."""
     r = cfg.fixed_pre_decision_ratio
     b, s, d = key.shape
     n = -(-s // r)

@@ -155,6 +155,57 @@ def subsampler_step(p, cache: SubsamplerCache, x) -> Tuple[jnp.ndarray, Subsampl
 # (reference: codebase/models/s2t_transformer.py:114-153, causal variant)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# CausalVGGBlock: alternative ConvTransformer pre-net
+# (reference causal_conv.py:165-228; unused by the shipped recipes but part
+# of the module inventory)
+# ---------------------------------------------------------------------------
+
+def _conv2d(x, w, stride):
+    """x: (B, T, F, Cin); w: (Kt, Kf, Cin, Cout)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def vgg_block_init(key, input_dim: int = 80, in_channels: int = 1,
+                   mid_channels: int = 256, out_channels: int = 256,
+                   kernel_sizes: Sequence[int] = (3, 3), dtype=jnp.float32):
+    keys = jax.random.split(key, len(kernel_sizes) + 1)
+    layers = []
+    f = input_dim
+    for i, k in enumerate(kernel_sizes):
+        cin = in_channels if i == 0 else mid_channels
+        fan_in = cin * k * k
+        bound = math.sqrt(1.0 / fan_in)
+        layers.append({
+            "weight": jax.random.uniform(keys[i], (k, k, cin, mid_channels),
+                                         dtype, -bound, bound),
+            "bias": jax.random.uniform(keys[i], (mid_channels,), dtype,
+                                       -bound, bound)})
+        # freq dim: SAME pad k//2 both sides, stride 2
+        f = (f + 2 * (k // 2) - k) // 2 + 1
+    from simulst_tpu.nn.core import linear_init
+    return {"layers": layers,
+            "out": linear_init(keys[-1], f * mid_channels, out_channels,
+                               dtype=dtype),
+            "kernel_sizes": tuple(kernel_sizes)}
+
+
+def vgg_block_apply(p, x, lengths):
+    """x: (B, T, F) -> (B, T', D); causal in time (left pad k-1), SAME in
+    frequency; stride 2 in both."""
+    from simulst_tpu.nn.core import linear
+    h = x[:, :, :, None]                                  # (B, T, F, 1)
+    for layer, k in zip(p["layers"], p["kernel_sizes"]):
+        h = jnp.pad(h, ((0, 0), (k - 1, 0), (k // 2, k // 2), (0, 0)))
+        h = _conv2d(h, layer["weight"], 2) + layer["bias"].astype(h.dtype)
+        h = jax.nn.relu(h)
+        lengths = conv_out_length(lengths, k, 2)
+    b, t, f, c = h.shape
+    return linear(p["out"], h.reshape(b, t, f * c)), lengths
+
+
 def conv_pos_init(key, embed_dim: int, conv_pos: int, groups: int, dtype=jnp.float32):
     """Causal conv-pos: kernel (conv_pos+1)//2, grouped, weight-norm over
     (Cin/g, Cout) per tap k (torch weight_norm dim=2 on (Cout,Cin/g,K))."""

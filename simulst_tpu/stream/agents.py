@@ -130,8 +130,6 @@ class MMASession(StreamingSession):
     def policy(self) -> int:
         if not self._got_first:
             return READ
-        if self.finished:
-            return WRITE
         prev = jnp.array([self.target_ids[-1] if self.target_ids else EOS],
                          jnp.int32)
         online = jnp.asarray(not self.finished_read)

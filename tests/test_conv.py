@@ -83,3 +83,23 @@ def test_conv_pos_streaming_equals_offline(chunks):
         t += c
     y_str = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_str), rtol=1e-5, atol=1e-6)
+
+
+def test_vgg_block_shapes_and_causality():
+    key = jax.random.PRNGKey(0)
+    p = conv.vgg_block_init(key, input_dim=16, mid_channels=8, out_channels=12)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 20, 16))
+    y, lens = conv.vgg_block_apply(p, x, jnp.array([20, 12]))
+    assert y.shape[0] == 2 and y.shape[2] == 12
+    assert y.shape[1] == int(lens[0])
+    # causality: zeroing future frames doesn't change early outputs
+    x2 = x.at[:, 12:].set(0.0)
+    y2, _ = conv.vgg_block_apply(p, x2, jnp.array([20, 12]))
+    np.testing.assert_allclose(np.asarray(y[:, :3]), np.asarray(y2[:, :3]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_strip_noise_tags():
+    from simulst_tpu.data.mustc import strip_noise_tags
+    assert strip_noise_tags("(Applause) hello world (Laughter)") == "hello world"
+    assert strip_noise_tags("no tags here") == "no tags here"
