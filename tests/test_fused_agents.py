@@ -56,3 +56,49 @@ def test_mma_fused_agent_matches_stepwise(audio):
                             audio)
     assert w1 == w2
     assert d1 == d2
+
+
+def test_waitk_large_k_matches_offline_greedy(audio):
+    """With k >= all pooled source frames, the streaming wait-k agent reads
+    everything before writing, so its output must equal offline greedy."""
+    import jax.numpy as jnp
+    from simulst_tpu.cli.generate import decode_batch
+    from simulst_tpu.decode.beam import BeamConfig
+    from simulst_tpu.ops.fbank import fbank_np
+    from simulst_tpu.data.vocab import EOS
+
+    v = _vocab()
+    cfg = MMAConfig(**small_kwargs(v), simul_attn_type="waitk_fixed_pre_decision",
+                    waitk_lagging=1000, fixed_pre_decision_ratio=2,
+                    mass_preservation=True)
+    model = MMAModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    acfg = AgentConfig(max_tgt_len=12, max_src_frames=256)
+    agent = MMAAgent(model, params, v, acfg)
+    session = agent.new_session()
+    # stream the whole utterance
+    from simulst_tpu.stream.evaluator import run_session
+    words, delays, _ = run_session(agent, audio)
+    # delays must all equal the full utterance duration (read-everything)
+    assert all(abs(d - 1000.0) < 30 for d in delays), delays
+
+    # offline greedy on the same features
+    feats = fbank_np(audio * 2 ** 15)
+    batch = {"feats": feats[None], "feat_lengths":
+             np.array([feats.shape[0]], np.int32)}
+    tokens, lengths = decode_batch(model, params, batch,
+                                   BeamConfig(beam_size=1, max_len=11))
+    ids = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]
+           if t != EOS]
+    offline_words = []
+    buf = []
+    for t in ids:
+        piece = v.symbols[t]
+        if piece.startswith("▁") and buf:
+            offline_words.append("".join(buf).replace("▁", ""))
+            buf = []
+        buf.append(piece)
+    if buf:
+        offline_words.append("".join(buf).replace("▁", ""))
+    offline_words = [w for w in offline_words if w]
+    assert words == offline_words, (words, offline_words)
