@@ -35,6 +35,7 @@ def main(argv=None):
         fields = ("src_text",) if args.task == "asr" else ("tgt_text",)
         mustc.build_vocab(train_rows, args.out_dir, args.vocab_size, fields)
         mustc.write_config(args.out_dir, args.vocab_size)
+        mustc.write_gcmvn(args.out_dir, train_rows)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,9 @@ def main(argv=None):
                    help="test-time beta recalibration (cif_agent.py:207-209)")
     p.add_argument("--overshoot-weight", type=float, default=1.0)
     p.add_argument("--max-utterances", type=int, default=None)
+    p.add_argument("--global-cmvn", default=None,
+                   help="npz with mean/std arrays for online feature "
+                        "normalization (the reference agents' gcmvn)")
     p.add_argument("--fused", action="store_true",
                    help="fused device-side chunk steps (one XLA call per "
                         "chunk incl. all WRITEs)")
@@ -58,12 +61,18 @@ def main(argv=None):
                                                "vocab_size": len(vocab)})
     model = model_cls(mcfg)
 
+    gcmvn = None
+    if args.global_cmvn:
+        stats = np.load(args.global_cmvn)
+        gcmvn = (stats["mean"], stats["std"])
+
     acfg = AgentConfig(overshoot_weight=args.overshoot_weight)
     if args.agent in ("mma", "waitk"):
-        agent = MMAAgent(model, restored, vocab, acfg, fused=args.fused)
+        agent = MMAAgent(model, restored, vocab, acfg, global_cmvn=gcmvn,
+                         fused=args.fused)
     else:
         agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta,
-                         fused=args.fused)
+                         global_cmvn=gcmvn, fused=args.fused)
 
     with open(args.source) as f:
         wav_paths = [l.strip() for l in f if l.strip()]

@@ -154,6 +154,10 @@ def main(argv=None):
     p.add_argument("--clip-norm", type=float, default=10.0)
     p.add_argument("--patience", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--cmvn", default="utterance",
+                   choices=["utterance", "global", "none"],
+                   help="feature normalization; 'global' reads gcmvn.npz "
+                        "from the data dir (streaming-compatible)")
     p.add_argument("--mtl", action="store_true",
                    help="multi-task: CE on translations + CTC on transcripts "
                         "(--do-mtl parity)")
@@ -193,7 +197,13 @@ def main(argv=None):
              else Vocabulary.from_txt(vocab_path))
 
     target_field = "src_text" if args.task == "asr" else "tgt_text"
-    bcfg = BatcherConfig(max_tokens=args.max_tokens, seed=args.seed)
+    bcfg = BatcherConfig(max_tokens=args.max_tokens, seed=args.seed,
+                         cmvn=args.cmvn)
+    global_stats = None
+    if args.cmvn == "global":
+        gpath = os.path.join(args.data, "gcmvn.npz")
+        stats = np.load(gpath)
+        global_stats = {"mean": stats["mean"], "std": stats["std"]}
     train_rows = load_tsv(
         os.path.join(args.data, f"{args.train_split}_st.tsv"))
     valid_rows = load_tsv(os.path.join(args.data, f"{args.valid_split}_st.tsv"))
@@ -208,9 +218,10 @@ def main(argv=None):
         train_rows = filter_by_frames(train_rows)
         mtl = args.mtl and args.task == "st"
         train_ds = SpeechDataset(train_rows, vocab, bcfg, target_field,
-                                 mtl_src=mtl)
+                                 global_stats=global_stats, mtl_src=mtl)
         valid_ds = SpeechDataset(valid_rows, vocab, dataclasses_replace(
-            bcfg, shuffle=False), target_field, mtl_src=mtl)
+            bcfg, shuffle=False), target_field, global_stats=global_stats,
+            mtl_src=mtl)
         make_ds_batches = lambda ds, epoch=0: make_batches(ds, epoch=epoch)
 
     # model

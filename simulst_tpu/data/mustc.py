@@ -106,6 +106,17 @@ def process_split(root: str, split: str, out_dir: str, src_lang: str = "en",
     return rows
 
 
+def write_gcmvn(out_dir: str, train_rows: List[Dict[str, str]]):
+    """Global CMVN stats over the train features (reference
+    data_utils.py:273-280 + gcmvn.npz used by the streaming agents)."""
+    from simulst_tpu.data.features import compute_global_cmvn
+    from simulst_tpu.data.manifest import read_feature
+    stats = compute_global_cmvn(read_feature(r["audio"]) for r in train_rows)
+    path = os.path.join(out_dir, "gcmvn.npz")
+    np.savez(path, **stats)
+    return path
+
+
 def build_vocab(train_rows: List[Dict[str, str]], out_dir: str,
                 vocab_size: int = 4096, fields=("tgt_text",)) -> Vocabulary:
     texts = [r[f] for r in train_rows for f in fields]
