@@ -42,70 +42,92 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
     """step_fn(state, tokens (N,)) -> (logits (N, V), new_state) where
     N = batch*beam (states must be built with that batch dim).
     reorder_fn(state, idx (N,)) -> state gathered along the batch axis.
+
+    fairseq-style search: 2*beam candidates per step; EOS candidates are
+    BANKED (finalized with length-normalized scores) and leave the beam, so
+    live slots keep exploring; at the end banked hypotheses compete with the
+    length-normalized unfinished beams.
     """
     bsz, beam = batch_size, cfg.beam_size
     n = bsz * beam
+    L = cfg.max_len
 
     def gather_beams(x, idx):
-        # x: (B, beam, ...), idx: (B, beam) into beam axis
+        # x: (B, K, ...), idx: (B, beam) into the K axis
         return jnp.take_along_axis(
-            x, idx.reshape(bsz, beam, *([1] * (x.ndim - 2))), axis=1)
+            x, idx.reshape(bsz, -1, *([1] * (x.ndim - 2))), axis=1)
 
-    tokens0 = jnp.full((bsz, beam, cfg.max_len + 1), cfg.pad_idx, jnp.int32)
+    tokens0 = jnp.full((bsz, beam, L + 1), cfg.pad_idx, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(cfg.eos_idx)  # fairseq seeds with EOS
     scores0 = jnp.where(jnp.arange(beam)[None, :] == 0, 0.0, NEG)
     scores0 = jnp.broadcast_to(scores0, (bsz, beam))
-    finished0 = jnp.zeros((bsz, beam), bool)
+    bank_tokens0 = jnp.full((bsz, beam, L), cfg.pad_idx, jnp.int32)
+    bank_scores0 = jnp.full((bsz, beam), NEG)
+    bank_lengths0 = jnp.ones((bsz, beam), jnp.int32)
 
     def body(carry, t):
-        state, tokens, scores, finished = carry
+        state, tokens, scores, bank_tokens, bank_scores, bank_lengths = carry
         prev = tokens[:, :, t].reshape(n)
         logits, state = step_fn(state, prev)
         lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         v = lprobs.shape[-1]
         lprobs = lprobs.reshape(bsz, beam, v)
-        # frozen (finished) beams may only continue with PAD at no cost
-        pad_only = jnp.full((v,), NEG).at[cfg.pad_idx].set(0.0)
-        lprobs = jnp.where(finished[:, :, None], pad_only[None, None, :], lprobs)
-        # never produce PAD on live beams
-        live_mask = jnp.zeros((v,)).at[cfg.pad_idx].set(NEG)
-        lprobs = lprobs + jnp.where(finished[:, :, None], 0.0,
-                                    live_mask[None, None, :])
+        lprobs = lprobs.at[:, :, cfg.pad_idx].set(NEG)  # never produce PAD
 
-        cand = scores[:, :, None] + lprobs                    # (B, beam, V)
+        cand = scores[:, :, None] + lprobs                  # (B, beam, V)
         flat = cand.reshape(bsz, beam * v)
-        top_scores, top_idx = jax.lax.top_k(flat, beam)       # (B, beam)
+        k2 = min(2 * beam, beam * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k2)       # (B, 2*beam)
         src_beam = top_idx // v
         tok = (top_idx % v).astype(jnp.int32)
+        is_eos = tok == cfg.eos_idx
 
-        tokens = gather_beams(tokens, src_beam)
-        tokens = tokens.at[:, :, t + 1].set(tok)
-        finished = gather_beams(finished[:, :, None], src_beam)[:, :, 0]
-        newly = (tok == cfg.eos_idx) & ~finished
-        finished = finished | newly
+        # candidate hypotheses (token prefixes incl. the new token)
+        cand_tokens = gather_beams(tokens, src_beam)        # (B, 2b, L+1)
+        cand_tokens = cand_tokens.at[:, :, t + 1].set(tok)
 
-        flat_idx = (jnp.arange(bsz)[:, None] * beam + src_beam).reshape(n)
+        # --- bank finished candidates (normalized score competition)
+        fin_len = (t + 1).astype(jnp.float32)
+        fin_norm = jnp.maximum(fin_len ** cfg.len_penalty, 1.0)
+        fin_scores = jnp.where(is_eos, top_scores / fin_norm, NEG)
+        all_scores = jnp.concatenate([bank_scores, fin_scores], axis=1)
+        all_tokens = jnp.concatenate(
+            [bank_tokens, cand_tokens[:, :, 1:]], axis=1)
+        all_lengths = jnp.concatenate(
+            [bank_lengths, jnp.full((bsz, k2), t + 1, jnp.int32)], axis=1)
+        bank_scores, bank_idx = jax.lax.top_k(all_scores, beam)
+        bank_tokens = gather_beams(all_tokens, bank_idx)
+        bank_lengths = jnp.take_along_axis(all_lengths, bank_idx, axis=1)
+
+        # --- live beams: best `beam` non-EOS candidates
+        live_scores = jnp.where(is_eos, NEG, top_scores)
+        new_scores, live_idx = jax.lax.top_k(live_scores, beam)
+        tokens = gather_beams(cand_tokens, live_idx)
+        live_src = jnp.take_along_axis(src_beam, live_idx, axis=1)
+
+        flat_idx = (jnp.arange(bsz)[:, None] * beam + live_src).reshape(n)
         state = reorder_fn(state, flat_idx)
-        return (state, tokens, top_scores, finished), None
+        return (state, tokens, new_scores, bank_tokens, bank_scores,
+                bank_lengths), None
 
-    carry = (init_state, tokens0, scores0, finished0)
-    (state, tokens, scores, finished), _ = jax.lax.scan(
-        body, carry, jnp.arange(cfg.max_len))
+    carry = (init_state, tokens0, scores0, bank_tokens0, bank_scores0,
+             bank_lengths0)
+    (state, tokens, scores, bank_tokens, bank_scores, bank_lengths), _ = \
+        jax.lax.scan(body, carry, jnp.arange(L))
 
-    # lengths: position of EOS (excluding the seed) else max_len
-    body_tokens = tokens[:, :, 1:]
-    is_eos = body_tokens == cfg.eos_idx
-    has_eos = is_eos.any(axis=-1)
-    eos_pos = jnp.argmax(is_eos, axis=-1)
-    lengths = jnp.where(has_eos, eos_pos + 1, cfg.max_len)
-    norm = lengths.astype(jnp.float32) ** cfg.len_penalty
-    final_scores = scores / jnp.maximum(norm, 1.0)
-
-    order = jnp.argsort(-final_scores, axis=1)
-    tokens = jnp.take_along_axis(body_tokens, order[:, :, None], axis=1)
-    final_scores = jnp.take_along_axis(final_scores, order, axis=1)
-    lengths = jnp.take_along_axis(lengths, order, axis=1)
-    return BeamResult(tokens=tokens, scores=final_scores, lengths=lengths)
+    # unfinished beams compete at max_len with length normalization
+    live_norm = jnp.maximum(float(L) ** cfg.len_penalty, 1.0)
+    all_scores = jnp.concatenate([bank_scores, scores / live_norm], axis=1)
+    all_tokens = jnp.concatenate([bank_tokens, tokens[:, :, 1:]], axis=1)
+    all_lengths = jnp.concatenate(
+        [bank_lengths, jnp.full((bsz, beam), L, jnp.int32)], axis=1)
+    final_scores, idx = jax.lax.top_k(all_scores, beam)
+    out_tokens = jnp.take_along_axis(all_tokens, idx[:, :, None], axis=1)
+    lengths = jnp.take_along_axis(all_lengths, idx, axis=1)
+    # PAD beyond each hypothesis' length
+    pos = jnp.arange(L)[None, None, :]
+    out_tokens = jnp.where(pos < lengths[:, :, None], out_tokens, cfg.pad_idx)
+    return BeamResult(tokens=out_tokens, scores=final_scores, lengths=lengths)
 
 
 def greedy_decode(step_fn: Callable, init_state, batch_size: int,

@@ -70,3 +70,22 @@ def test_beam_respects_eos_freeze():
     toks = np.asarray(res.tokens)[0, 0]
     eos_pos = int(np.argmax(toks == 2))
     assert (toks[eos_pos + 1:] == 1).all()  # PAD after EOS
+
+
+def test_banked_beam_recovers_early_eos_hypothesis():
+    """A short high-scoring EOS hypothesis must be banked and win over longer
+    continuations even though it leaves the live beam."""
+    V, T = 5, 6
+    # at t=0: token 3 good; at t=1 from 3: EOS very likely (short good hyp),
+    # alternatives mediocre forever after
+    table = jnp.full((V, T + 1, V), -3.0)
+    table = table.at[2, 0, 3].set(4.0)         # seed(2) -> 3
+    table = table.at[3, 1, 2].set(6.0)         # 3 -> EOS (strong)
+    table = table.at[3, 1, 4].set(2.0)         # 3 -> 4 (weaker live path)
+    step = _toy_step(table)
+    res = beam_search(step, jnp.zeros((), jnp.int32), 1,
+                      BeamConfig(beam_size=2, max_len=T, len_penalty=1.0),
+                      reorder_fn=lambda s, idx: s)
+    best = np.asarray(res.tokens)[0, 0]
+    assert best[0] == 3 and best[1] == 2       # [3, EOS]
+    assert int(res.lengths[0, 0]) == 2
