@@ -51,3 +51,24 @@ def test_encoder_streaming_equals_offline(chunks):
         st.shape, off.encoder_out.shape)
     np.testing.assert_allclose(st, np.asarray(off.encoder_out),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_streaming_batch2():
+    """The streaming session machinery is batch-parallel for equal-length
+    utterances (beyond the reference, which asserts B==1)."""
+    cfg = tiny_cfg()
+    params = encoder_init(jax.random.PRNGKey(0), cfg)
+    T = 72
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, T, cfg.input_feat))
+    off = encoder_forward(params, cfg, feats, jnp.array([T, T]))
+
+    state = encoder_init_state(params, cfg, 2)
+    outs, t = [], 0
+    for i, c in enumerate([24, 16, 16, 16]):
+        out, state = encoder_step(params, cfg, state, feats[:, t:t + c],
+                                  finish=i == 3)
+        outs.append(np.asarray(out.encoder_out))
+        t += c
+    st = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(st, np.asarray(off.encoder_out),
+                               rtol=2e-4, atol=2e-5)
