@@ -168,6 +168,9 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="checkpoint_resume path (params + optimizer + step)")
     p.add_argument("--load-pretrained-encoder-from", default=None)
+    p.add_argument("--load-pretrained-decoder-from", default=None,
+                   help="init decoder weights from a checkpoint "
+                        "(reference mma_model.py:230-248)")
     p.add_argument("--encoder-freezing-updates", type=int, default=0,
                    help="zero encoder grads for the first N updates "
                         "(reference s2t_emformer.py:117-123)")
@@ -233,10 +236,14 @@ def main(argv=None):
     if args.load_params:
         from simulst_tpu.train.checkpoint import load_checkpoint
         params, _ = load_checkpoint(args.load_params, template=params)
-    if args.load_pretrained_encoder_from:
-        from simulst_tpu.train.checkpoint import load_checkpoint
-        pre, _ = load_checkpoint(args.load_pretrained_encoder_from)
-        params = dict(params, encoder=pre["encoder"])
+    for comp, src in (("encoder", args.load_pretrained_encoder_from),
+                      ("decoder", args.load_pretrained_decoder_from)):
+        if src:
+            from simulst_tpu.train.checkpoint import conform_tree, load_checkpoint
+            pre, _ = load_checkpoint(src)
+            params = dict(params,
+                          **{comp: conform_tree(params[comp], pre[comp])})
+            print(f"loaded pretrained {comp} from {src}")
 
     loss_fn = build_loss(args, model)
     optim_cfg = OptimConfig(lr=args.lr, warmup_updates=args.warmup_updates,

@@ -22,22 +22,41 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None):
     ckptr.save(path, {"state": state, "metadata": metadata or {}}, force=True)
 
 
+def conform_tree(template, restored):
+    """Rebuild `restored` (orbax turns lists/tuples/namedtuples into dicts
+    with string keys) into the template's structure, casting leaf dtypes.
+
+    NOTE: a naive flatten/unflatten is WRONG for >=10-element lists because
+    orbax's dict keys sort lexicographically ("10" < "2"), scrambling layer
+    order — conformance must be structural, not positional."""
+    if isinstance(template, (list, tuple)) and not hasattr(template, "_fields"):
+        items = [restored[str(i)] if isinstance(restored, dict) else restored[i]
+                 for i in range(len(template))]
+        out = [conform_tree(t, r) for t, r in zip(template, items)]
+        return type(template)(out)
+    if hasattr(template, "_fields"):  # NamedTuple
+        return type(template)(**{
+            f: conform_tree(getattr(template, f), restored[f])
+            for f in template._fields})
+    if isinstance(template, dict):
+        return {k: conform_tree(v, restored[k]) for k, v in template.items()}
+    if template is None:
+        return None
+    dtype = getattr(template, "dtype", None)
+    return jnp.asarray(restored, dtype)
+
+
 def load_checkpoint(path: str, template=None):
-    """Restore (state, metadata). `template` (a matching pytree) recasts the
-    restored leaves to the template's dtypes/structure (restored leaves are
-    plain numpy otherwise, which is fine for most uses)."""
+    """Restore (state, metadata). `template` (a matching pytree) rebuilds the
+    restored tree into the template's structure (lists/namedtuples) and
+    dtypes; without it, the raw orbax tree (nested dicts) is returned."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     state = restored["state"]
     meta = restored.get("metadata") or None
     if template is not None:
-        flat_t, treedef = jax.tree.flatten(template)
-        flat_s = jax.tree.leaves(state)
-        if len(flat_t) == len(flat_s):
-            state = jax.tree.unflatten(
-                treedef, [jnp.asarray(s, t.dtype if hasattr(t, "dtype") else None)
-                          for s, t in zip(flat_s, flat_t)])
+        state = conform_tree(template, state)
     return state, meta
 
 
