@@ -61,7 +61,6 @@ def test_mma_fused_agent_matches_stepwise(audio):
 def test_waitk_large_k_matches_offline_greedy(audio):
     """With k >= all pooled source frames, the streaming wait-k agent reads
     everything before writing, so its output must equal offline greedy."""
-    import jax.numpy as jnp
     from simulst_tpu.cli.generate import decode_batch
     from simulst_tpu.decode.beam import BeamConfig
     from simulst_tpu.ops.fbank import fbank_np
@@ -75,8 +74,6 @@ def test_waitk_large_k_matches_offline_greedy(audio):
     params = model.init(jax.random.PRNGKey(0))
     acfg = AgentConfig(max_tgt_len=12, max_src_frames=256)
     agent = MMAAgent(model, params, v, acfg)
-    session = agent.new_session()
-    # stream the whole utterance
     from simulst_tpu.stream.evaluator import run_session
     words, delays, _ = run_session(agent, audio)
     # delays must all equal the full utterance duration (read-everything)
