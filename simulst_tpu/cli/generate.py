@@ -55,11 +55,11 @@ def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
 
     def reorder_fn(state, idx):
         def re(c):
-            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length[idx])
         return cif_mod.CIFDecoderState(
             caches=tuple(re(c) for c in state.caches),
             cross_caches=tuple(re(c) for c in state.cross_caches),
-            step=state.step)
+            step=state.step[idx])
 
     if beam == 1:
         return greedy_decode(step_fn, dstate, b, beam_cfg)
@@ -89,14 +89,14 @@ def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
 
     def reorder_fn(state, idx):
         def re(c):
-            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length[idx])
         def rm(m):
             return mma_mod.MonotonicState(head_step=m.head_step[idx],
                                           head_read=m.head_read[idx])
         return mma_mod.MMADecoderState(
             caches=tuple(re(c) for c in state.caches),
             monotonic=tuple(rm(m) for m in state.monotonic),
-            step=state.step)
+            step=state.step[idx])
 
     if beam == 1:
         return greedy_decode(step_fn, dstate, b, beam_cfg)
@@ -129,9 +129,9 @@ def decode_batch(model, params, batch, beam_cfg: BeamConfig):
 
     def reorder_fn(state, idx):
         def re(c):
-            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length[idx])
         return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
-                                step=state.step)
+                                step=state.step[idx])
 
     if beam == 1:
         tokens, lengths = greedy_decode(step_fn, dstate, b, beam_cfg)
@@ -158,9 +158,9 @@ def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
 
     def reorder_fn(state, idx):
         def re(c):
-            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length)
+            return attn_mod.KVCache(k=c.k[idx], v=c.v[idx], length=c.length[idx])
         return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
-                                step=state.step)
+                                step=state.step[idx])
 
     if beam == 1:
         return greedy_decode(step_fn, dstate, b, beam_cfg)

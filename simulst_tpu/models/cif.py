@@ -96,16 +96,22 @@ def cif_layer_init_state(p, cfg: CIFConfig, batch: int, dtype=jnp.float32):
         prev_feat=jnp.zeros((batch, 1, cfg.embed_dim), dtype))
 
 
-def cif_layer_step(p, cfg: CIFConfig, state: CIFStreamState, x, finish: bool
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray, CIFStreamState]:
+def cif_layer_step(p, cfg: CIFConfig, state: CIFStreamState, x, finish: bool,
+                   x_valid=None) -> Tuple[jnp.ndarray, jnp.ndarray, CIFStreamState]:
     """Streaming CIF on a new chunk (reference :189-261).
 
     x: (B, c, D) new encoder frames. Returns (cif_feats (B, Tmax, D),
     n_emitted (B,), new_state); emitted = cif_len - 1 mid-stream (the last,
     incomplete accumulation is carried), everything on finish.
+
+    x_valid: optional (B,) per-example count of valid frames in x (batched
+    final chunks where examples end at different offsets); frames beyond it
+    contribute zero alpha, exactly as if absent.
     """
     b, c, d = x.shape
     alpha, conv_cache = _alpha_from_x(p, cfg, x, conv_cache=state.conv)
+    if x_valid is not None:
+        alpha = jnp.where(jnp.arange(c)[None, :] < x_valid[:, None], alpha, 0.0)
     a = jnp.concatenate([state.prev_weight, alpha], axis=1)     # (B, 1+c)
     xx = jnp.concatenate([state.prev_feat, x], axis=1)
     mol = xx.shape[1] + 2
@@ -230,7 +236,7 @@ def cif_decoder_forward(p, cfg: CIFConfig, prev_tokens, cif_feats, cif_lengths,
 class CIFDecoderState(NamedTuple):
     caches: Tuple[attn.KVCache, ...]
     cross_caches: Tuple[attn.KVCache, ...]  # used only for infinite_lookback
-    step: jnp.ndarray
+    step: jnp.ndarray                       # (B,) per-example decoded count
 
 
 def cif_decoder_init_state(cfg: CIFConfig, batch: int, max_len: int,
@@ -240,7 +246,7 @@ def cif_decoder_init_state(cfg: CIFConfig, batch: int, max_len: int,
     mk = lambda: tuple(attn.kv_cache_init(batch, dcfg.num_heads, max_len, hd, dtype)
                        for _ in range(dcfg.num_layers))
     return CIFDecoderState(caches=mk(), cross_caches=mk(),
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((batch,), jnp.int32))
 
 
 def cif_decoder_step(p, cfg: CIFConfig, state: CIFDecoderState, token,
@@ -252,11 +258,11 @@ def cif_decoder_step(p, cfg: CIFConfig, state: CIFDecoderState, token,
     """
     dcfg = cfg.decoder
     b = token.shape[0]
-    pos = dcfg.padding_idx + 1 + state.step
+    pos = dcfg.padding_idx + 1 + state.step                 # (B,)
     x = dcfg.embed_scale * tfm.embedding(p["embed_tokens"], token[:, None])
-    x = x + tfm._pos_table(dcfg)[pos][None, None, :].astype(x.dtype)
+    x = x + tfm._pos_table(dcfg)[pos][:, None, :].astype(x.dtype)
 
-    t1 = state.step + 1                                     # tokens incl. this
+    t1 = state.step + 1                                     # (B,) tokens incl. this
     cif_idx = jnp.clip(jnp.minimum(cif_len, t1) - 1, 0, cif_buf.shape[1] - 1)
     cif_t = jnp.take_along_axis(cif_buf, cif_idx[:, None, None], axis=1)  # (B,1,D)
 
@@ -278,8 +284,7 @@ def cif_decoder_step(p, cfg: CIFConfig, state: CIFDecoderState, token,
             xcache = attn.kv_cache_append(xcache, k_new, v_new)
             q = attn._split_heads(linear(layer["encoder_attn"]["q_proj"], xh), h)
             tmax = xcache.k.shape[2]
-            valid = jnp.broadcast_to((jnp.arange(tmax) < xcache.length)[None, :],
-                                     (b, tmax))
+            valid = jnp.arange(tmax)[None, :] < xcache.length[:, None]
             out, _ = attn.attend(q, xcache.k.astype(q.dtype),
                                  xcache.v.astype(q.dtype), key_valid=valid)
             xh = linear(layer["encoder_attn"]["out_proj"], attn._merge_heads(out))

@@ -402,7 +402,7 @@ def mma_decoder_forward(p, cfg: MMAConfig, prev_tokens, encoder_out,
 class MMADecoderState(NamedTuple):
     caches: Tuple[attn.KVCache, ...]
     monotonic: Tuple[MonotonicState, ...]
-    step: jnp.ndarray  # () int32
+    step: jnp.ndarray  # (B,) int32 per-example decoded count
 
 
 def mma_decoder_init_state(cfg: MMAConfig, batch: int, max_len: int,
@@ -414,26 +414,26 @@ def mma_decoder_init_state(cfg: MMAConfig, batch: int, max_len: int,
                      for _ in range(dcfg.num_layers)),
         monotonic=tuple(monotonic_init_state(batch, dcfg.num_heads)
                         for _ in range(dcfg.num_layers)),
-        step=jnp.zeros((), jnp.int32))
+        step=jnp.zeros((batch,), jnp.int32))
 
 
 def mma_decoder_step(p, cfg: MMAConfig, state: MMADecoderState, token,
                      key_buf, src_len, online):
     """One incremental decode attempt.
 
-    Returns (logits (B,V), action () int32 [1=WRITE, 0=READ], new_state).
-    On action==0 the caller should adopt ONLY the monotonic sub-state
-    (see `adopt_on_read`), discarding the KV appends — the reference's
-    prune_incremental_state rollback.
+    Returns (logits (B,V), action (B,) int32 [1=WRITE, 0=READ], new_state).
+    For examples with action==0 the caller should adopt ONLY the monotonic
+    sub-state (see `adopt_on_read`), discarding the KV appends — the
+    reference's prune_incremental_state rollback.
     """
     dcfg = cfg.decoder
     b = token.shape[0]
-    pos = dcfg.padding_idx + 1 + state.step
+    pos = dcfg.padding_idx + 1 + state.step                 # (B,)
     x = dcfg.embed_scale * tfm.embedding(p["embed_tokens"], token[:, None])
-    x = x + tfm._pos_table(dcfg)[pos][None, None, :].astype(x.dtype)
+    x = x + tfm._pos_table(dcfg)[pos][:, None, :].astype(x.dtype)
 
     new_caches, new_mono = [], []
-    any_read = jnp.zeros((), bool)
+    any_read = jnp.zeros((b,), bool)
     for layer, cache, mstate in zip(p["layers"], state.caches, state.monotonic):
         residual = x
         xh = layer_norm(layer["self_attn_ln"], x)
@@ -449,7 +449,7 @@ def mma_decoder_step(p, cfg: MMAConfig, state: MMADecoderState, token,
         x = tfm._ffn(layer, dcfg, x, None, True)
         new_caches.append(cache)
         new_mono.append(mstate)
-        any_read = any_read | (online & mstate.head_read.any())
+        any_read = any_read | (online & mstate.head_read.any(axis=-1))
 
     x = layer_norm(p["layer_norm"], x)
     logits = tfm.output_layer(p, dcfg, x)[:, 0]

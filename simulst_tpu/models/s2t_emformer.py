@@ -187,8 +187,18 @@ def _featurize_step(params, cfg: S2TEmformerConfig, sub_cache, pos_cache, feats)
     return x + pos, sub_cache, pos_cache
 
 
+def _subsample_valid_len(cfg: S2TEmformerConfig, n):
+    """Device-side per-example valid post-subsample length for n (B,) valid
+    input frames (0 stays 0; else the causal-conv stride formula)."""
+    m = n
+    for _ in cfg.conv_kernel_sizes:
+        m = jnp.where(m > 0, (m - 1) // 2 + 1, 0)
+    return m.astype(jnp.int32)
+
+
 def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
-                 feats: Optional[jnp.ndarray], finish: bool = False
+                 feats: Optional[jnp.ndarray], finish: bool = False,
+                 feat_valid: Optional[jnp.ndarray] = None
                  ) -> Tuple[EncoderOut, EncoderStreamState]:
     """Process one streaming chunk of NEW feature frames.
 
@@ -202,6 +212,12 @@ def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
     here is equivalent and complete).
 
     feats: (B, f, F) new frames (f % stride == 0 unless finish) or None.
+    feat_valid: optional (B,) per-example count of REAL frames in feats, for
+    batched FINAL chunks where utterances end at different offsets (shorter
+    examples are zero-padded on the host).  Causality of the convs makes the
+    first valid outputs identical to an unpadded run; everything past each
+    example's valid region is zeroed (== the reference's zero right-pad) and
+    its extra block steps only touch state that dies with the finish.
     """
     ecfg = cfg.emformer
     seg, rc = ecfg.segment, ecfg.right_context
@@ -217,19 +233,27 @@ def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
 
     v = state.carry_len + x_new.shape[1]       # real post-subsample frames
     x = jnp.concatenate([state.carry[:, :state.carry_len], x_new], axis=1)
+    if feat_valid is not None:
+        assert finish, "per-example feat_valid is only defined on the flush"
+        v_b = state.carry_len + _subsample_valid_len(cfg, feat_valid)   # (B,)
+        x = jnp.where(jnp.arange(x.shape[1])[None, :, None] < v_b[:, None, None],
+                      x, 0.0)
+    else:
+        v_b = None
     if finish:
         x = jnp.pad(x, ((0, 0), (0, rc), (0, 0)))
     size = x.shape[1]
 
-    def run_block(xb, uvc, emf_state):
+    def run_block(xb, uvc, emf_state, offset):
         """xb: (B, uvc + rc, D) — utterance frames then the rc slot."""
         utt = xb[:, :uvc]
         if uvc < seg:
             utt = jnp.pad(utt, ((0, 0), (0, seg - uvc), (0, 0)))
         blk = jnp.concatenate([utt, xb[:, uvc:]], axis=1)
+        uv = (jnp.full((B,), uvc, jnp.int32) if v_b is None
+              else jnp.clip(v_b - offset, 0, uvc))
         out, _, emf_state = emf.emformer_step(
-            params["emformer"], ecfg, emf_state,
-            blk, jnp.full((B,), uvc, jnp.int32))
+            params["emformer"], ecfg, emf_state, blk, uv)
         return out[:, :uvc], emf_state
 
     # drain every complete segment (generalizes the reference, which
@@ -240,12 +264,12 @@ def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
     emf_state = state.emf
     o = 0
     while (size - o) >= seg + rc and (v - o) >= seg:
-        out, emf_state = run_block(x[:, o:o + seg + rc], seg, emf_state)
+        out, emf_state = run_block(x[:, o:o + seg + rc], seg, emf_state, o)
         outputs.append(out)
         o += seg
     if finish and v - o > 0:
         rem = v - o                             # < seg real frames left
-        out, emf_state = run_block(x[:, o:o + rem + rc], rem, emf_state)
+        out, emf_state = run_block(x[:, o:o + rem + rc], rem, emf_state, o)
         outputs.append(out)
         o += rem
 
@@ -266,7 +290,8 @@ def encoder_step(params, cfg: S2TEmformerConfig, state: EncoderStreamState,
 
     new_state = EncoderStreamState(sub=sub_cache, pos=pos_cache, emf=emf_state,
                                    carry=buf, carry_len=carry_len_next)
-    lengths = jnp.full((B,), enc.shape[1], jnp.int32)
+    lengths = (jnp.full((B,), enc.shape[1], jnp.int32) if v_b is None
+               else jnp.minimum(v_b, enc.shape[1]))
     return EncoderOut(encoder_out=enc, lengths=lengths, ctc_logits=ctc_logits), new_state
 
 

@@ -197,7 +197,7 @@ class TransducerModel:
                                             dtype)
                          for _ in range(dcfg.num_layers)),
             prev_emit=jnp.zeros((batch,), jnp.int32),
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((batch,), jnp.int32))
 
     def decode_step(self, params, state: TransducerState, token, src_buf,
                     src_len):
@@ -211,9 +211,9 @@ class TransducerModel:
         p = params["decoder"]
         b = token.shape[0]
         s_max = src_buf.shape[1]
-        pos = dcfg.padding_idx + 1 + state.step
+        pos = dcfg.padding_idx + 1 + state.step              # (B,)
         x = dcfg.embed_scale * tfm.embedding(p["embed_tokens"], token[:, None])
-        x = x + tfm._pos_table(dcfg)[pos][None, None, :].astype(x.dtype)
+        x = x + tfm._pos_table(dcfg)[pos][:, None, :].astype(x.dtype)
         new_caches = []
         for layer, cache in zip(p["layers"], state.caches):
             residual = x

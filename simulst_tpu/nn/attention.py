@@ -90,25 +90,29 @@ def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
 
 
 class KVCache(NamedTuple):
-    """Fixed-capacity incremental KV cache."""
+    """Fixed-capacity incremental KV cache.  `length` is PER-EXAMPLE so a
+    batch of streaming sessions can diverge (batched READ/WRITE policies)."""
     k: jnp.ndarray        # (B, H, Tmax, hd)
     v: jnp.ndarray        # (B, H, Tmax, hd)
-    length: jnp.ndarray   # () int32 — number of valid entries
+    length: jnp.ndarray   # (B,) int32 — number of valid entries per example
 
 
 def kv_cache_init(batch: int, num_heads: int, max_len: int, head_dim: int,
                   dtype=jnp.float32) -> KVCache:
     shape = (batch, num_heads, max_len, head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((), jnp.int32))
+                   length=jnp.zeros((batch,), jnp.int32))
 
 
 def kv_cache_append(cache: KVCache, k_new, v_new) -> KVCache:
-    """Append one step: k_new/v_new (B, H, 1, hd)."""
-    idx = cache.length
-    k = jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype), (0, 0, idx, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype), (0, 0, idx, 0))
-    return KVCache(k=k, v=v, length=idx + 1)
+    """Append one step at each example's own fill position.
+    k_new/v_new: (B, H, 1, hd)."""
+    tmax = cache.k.shape[2]
+    at = (jnp.arange(tmax)[None, :] == cache.length[:, None])   # (B, Tmax)
+    sel = at[:, None, :, None]
+    k = jnp.where(sel, k_new.astype(cache.k.dtype), cache.k)
+    v = jnp.where(sel, v_new.astype(cache.v.dtype), cache.v)
+    return KVCache(k=k, v=v, length=cache.length + 1)
 
 
 def kv_cache_rollback(cache: KVCache, n: int = 1) -> KVCache:
@@ -126,8 +130,7 @@ def mha_step(p, cache: KVCache, query_step, num_heads: int,
     v_new = _split_heads(linear(p["v_proj"], query_step), num_heads)
     cache = kv_cache_append(cache, k_new, v_new)
     tmax = cache.k.shape[2]
-    valid = (jnp.arange(tmax) < cache.length)[None, :]          # (1, Tmax)
-    valid = jnp.broadcast_to(valid, (query_step.shape[0], tmax))
+    valid = jnp.arange(tmax)[None, :] < cache.length[:, None]   # (B, Tmax)
     out, _ = attend(q, cache.k.astype(q.dtype), cache.v.astype(q.dtype),
                     key_valid=valid, dropout_rate=dropout_rate, rng=rng,
                     deterministic=deterministic)

@@ -231,7 +231,7 @@ def decoder_forward(p, cfg: DecoderConfig, prev_tokens, encoder_out, encoder_val
 
 class DecoderState(NamedTuple):
     caches: Tuple[attn.KVCache, ...]
-    step: jnp.ndarray  # () int32 — number of tokens consumed so far
+    step: jnp.ndarray  # (B,) int32 — tokens consumed so far, per example
 
 
 def decoder_init_state(cfg: DecoderConfig, batch: int, max_len: int,
@@ -239,15 +239,15 @@ def decoder_init_state(cfg: DecoderConfig, batch: int, max_len: int,
     hd = cfg.embed_dim // cfg.num_heads
     caches = tuple(attn.kv_cache_init(batch, cfg.num_heads, max_len, hd, dtype)
                    for _ in range(cfg.num_layers))
-    return DecoderState(caches=caches, step=jnp.zeros((), jnp.int32))
+    return DecoderState(caches=caches, step=jnp.zeros((batch,), jnp.int32))
 
 
 def decoder_step(p, cfg: DecoderConfig, state: DecoderState, token, encoder_out,
                  encoder_valid) -> Tuple[jnp.ndarray, DecoderState]:
     """One greedy/beam decode step. token: (B,) int32 (the prev token)."""
-    pos = cfg.padding_idx + 1 + state.step
+    pos = cfg.padding_idx + 1 + state.step                  # (B,)
     x = cfg.embed_scale * embedding(p["embed_tokens"], token[:, None])
-    x = x + _pos_table(cfg)[pos][None, None, :].astype(x.dtype)
+    x = x + _pos_table(cfg)[pos][:, None, :].astype(x.dtype)
     new_caches = []
     for layer, cache in zip(p["layers"], state.caches):
         x, cache = decoder_layer_step(layer, cfg, cache, x, encoder_out, encoder_valid)

@@ -136,7 +136,7 @@ class MMASession(StreamingSession):
         logits, action, new_state = self.agent.dec_step(
             self.agent.params["decoder"], self.dec_state, prev, self.enc_buf,
             jnp.array([self.src_len]), online)
-        if int(action) == 0:
+        if int(action[0]) == 0:
             # READ: keep advanced monotonic positions, roll back KV/step
             self.dec_state = mma_mod.adopt_on_read(self.dec_state, new_state)
             self._attempt = None
@@ -159,20 +159,26 @@ class MMASession(StreamingSession):
         return idx
 
 
+def chunk_geometry_ms(cfg) -> tuple:
+    """(first_chunk_ms, steady_chunk_ms) — the reference's chunk-size rule
+    (default_agent.py:364-376)."""
+    stride_ms = cfg.stride * 10
+    first = (cfg.segment_length // cfg.stride
+             + cfg.right_context // cfg.stride) * stride_ms + 15
+    steady = (cfg.segment_length // cfg.stride) * stride_ms
+    return first, steady
+
+
 class FusedChunkSession:
     """Session driving a fused device-side chunk step (stream/fused.py):
     one XLA call per audio chunk runs READ + all WRITEs."""
 
     def __init__(self, agent, state, step_fn):
         self.agent = agent
-        cfg = agent.cfg
         self.fbank = OnlineFbank(global_cmvn=agent.global_cmvn)
         self.state = state
         self.step_fn = step_fn
-        stride_ms = cfg.stride * 10
-        self.first_chunk_ms = (cfg.segment_length // cfg.stride
-                               + cfg.right_context // cfg.stride) * stride_ms + 15
-        self.chunk_ms = (cfg.segment_length // cfg.stride) * stride_ms
+        self.first_chunk_ms, self.chunk_ms = chunk_geometry_ms(agent.cfg)
         self.next_chunk_ms = self.first_chunk_ms
         self.finished = False
 
@@ -189,6 +195,53 @@ class FusedChunkSession:
         return [int(t) for t in toks]
 
 
+class FusedBatchSession:
+    """B utterances streamed LOCK-STEP through one fused device step per
+    chunk.  The caller groups utterances into same-chunk-count buckets (see
+    stream/evaluator.evaluate_batched); on the final chunk each example
+    passes its own valid feature count.  Beats the reference's hard B == 1
+    limit (cif_agent.py:341-343)."""
+
+    def __init__(self, agent, state, step_fn, batch: int):
+        self.agent = agent
+        self.batch = batch
+        self.fbanks = [OnlineFbank(global_cmvn=agent.global_cmvn)
+                       for _ in range(batch)]
+        self.state = state
+        self.step_fn = step_fn
+        self.first_chunk_ms, self.chunk_ms = chunk_geometry_ms(agent.cfg)
+        self.next_chunk_ms = self.first_chunk_ms
+
+    def process_chunk_batch(self, chunks: List[np.ndarray], finished: bool
+                            ) -> List[List[int]]:
+        """chunks: per-example NEW samples (equal sizes except the final
+        chunk).  Returns per-example newly emitted token lists."""
+        feats = [fb(c) for fb, c in zip(self.fbanks, chunks)]
+        mx = max(f.shape[0] for f in feats)
+        x = None
+        n_valid = None
+        if mx > 0:
+            n_feat = self.agent.cfg.input_feat
+            x = np.zeros((self.batch, mx, n_feat), np.float32)
+            for i, f in enumerate(feats):
+                x[i, :f.shape[0]] = f
+            x = jnp.asarray(x)
+        counts = np.array([f.shape[0] for f in feats], np.int32)
+        if finished and (counts != mx).any():
+            n_valid = jnp.asarray(counts)
+        elif not finished:
+            assert (counts == mx).all(), \
+                "mid-stream chunks must align across the batch"
+        n_before = np.asarray(self.state.n_tokens)
+        self.state, _ = self.step_fn(self.state, x, finish=finished,
+                                     n_valid=n_valid)
+        self.next_chunk_ms = self.chunk_ms
+        n_after = np.asarray(self.state.n_tokens)
+        toks = np.asarray(self.state.tokens)
+        return [[int(t) for t in toks[i, n_before[i]:n_after[i]]]
+                for i in range(self.batch)]
+
+
 class MMAAgent(SpeechAgent):
     session_cls = MMASession
 
@@ -201,8 +254,9 @@ class MMAAgent(SpeechAgent):
             from simulst_tpu.stream.fused import (make_mma_fused_step,
                                                   mma_fused_init)
             self._fused_step = make_mma_fused_step(params, cfg)
-            self._fused_init = lambda: mma_fused_init(
-                params, cfg, self.acfg.max_src_frames, self.acfg.max_tgt_len)
+            self._fused_init = lambda batch=1: mma_fused_init(
+                params, cfg, self.acfg.max_src_frames, self.acfg.max_tgt_len,
+                batch=batch)
         self.dec_step = jax.jit(
             lambda p, st, tok, buf, n, online: mma_mod.mma_decoder_step(
                 p, cfg, st, tok, buf, n, online))
@@ -211,6 +265,11 @@ class MMAAgent(SpeechAgent):
         if self.fused:
             return FusedChunkSession(self, self._fused_init(), self._fused_step)
         return super().new_session()
+
+    def new_batched_session(self, batch: int) -> FusedBatchSession:
+        assert self.fused, "batched streaming requires fused=True"
+        return FusedBatchSession(self, self._fused_init(batch),
+                                 self._fused_step, batch)
 
 
 # ---------------------------------------------------------------------------
@@ -284,8 +343,8 @@ class CIFAgent(SpeechAgent):
                                                   make_cif_fused_step)
             self._fused_step = make_cif_fused_step(params, cfg,
                                                    overshoot_weight=ow)
-            self._fused_init = lambda: cif_fused_init(
-                params, cfg, self.acfg.max_tgt_len)
+            self._fused_init = lambda batch=1: cif_fused_init(
+                params, cfg, self.acfg.max_tgt_len, batch=batch)
 
         import functools
 
@@ -302,3 +361,8 @@ class CIFAgent(SpeechAgent):
         if self.fused:
             return FusedChunkSession(self, self._fused_init(), self._fused_step)
         return super().new_session()
+
+    def new_batched_session(self, batch: int) -> FusedBatchSession:
+        assert self.fused, "batched streaming requires fused=True"
+        return FusedBatchSession(self, self._fused_init(batch),
+                                 self._fused_step, batch)

@@ -176,3 +176,124 @@ def evaluate(agent, utterances, references: Optional[List[str]] = None,
             for inst in instances:
                 f.write(json.dumps(dataclasses.asdict(inst)) + "\n")
     return scores
+
+
+# ---------------------------------------------------------------------------
+# batched evaluation (B utterances per device call)
+# ---------------------------------------------------------------------------
+
+class _WordMerger:
+    """BPE->word merge with per-word delay bookkeeping (same rule as
+    run_session; mirrors the agents' units_to_segment,
+    default_agent.py:248-301)."""
+
+    def __init__(self, symbols):
+        self.symbols = symbols
+        self.words: List[str] = []
+        self.delays: List[float] = []
+        self.elapsed: List[float] = []
+        self._buf: List[str] = []
+        self.done = False
+
+    def flush(self, delay_ms: float, elapsed_ms: float):
+        if self._buf:
+            w = "".join(self._buf).replace(BOW_PREFIX, "").strip()
+            if w:
+                self.words.append(w)
+                self.delays.append(delay_ms)
+                self.elapsed.append(elapsed_ms)
+            self._buf.clear()
+
+    def push(self, tokens, delay_ms: float, elapsed_ms: float):
+        for tok in tokens:
+            if tok == EOS:
+                self.done = True
+                break
+            piece = self.symbols[tok]
+            if piece.startswith(BOW_PREFIX) and self._buf:
+                self.flush(delay_ms, elapsed_ms)
+            self._buf.append(piece)
+
+
+def _chunk_count(n_samples: int, first: int, steady: int) -> int:
+    consumed, k = 0, 0
+    while consumed < n_samples:
+        consumed = min(consumed + (first if k == 0 else steady), n_samples)
+        k += 1
+    return k
+
+
+def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int):
+    """Run len(wavs) same-chunk-count utterances lock-step through one
+    batched fused session.  Returns per-example (words, delays, elapsed)."""
+    from simulst_tpu.stream.agents import chunk_geometry_ms
+    first_ms, steady_ms = chunk_geometry_ms(agent.cfg)
+    n_first = int(first_ms / 1000.0 * SAMPLE_RATE)
+    n_steady = int(steady_ms / 1000.0 * SAMPLE_RATE)
+
+    B = len(wavs)
+    session = agent.new_batched_session(B)
+    mergers = [_WordMerger(agent.vocab.symbols) for _ in range(B)]
+    consumed = [0] * B
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        n = n_first if c == 0 else n_steady
+        chunks = []
+        for i, wav in enumerate(wavs):
+            chunks.append(wav[consumed[i]: consumed[i] + n])
+            consumed[i] = min(consumed[i] + n, len(wav))
+        out = session.process_chunk_batch(chunks, finished=c == n_chunks - 1)
+        wall = (time.perf_counter() - t0) * 1000.0
+        for i, toks in enumerate(out):
+            if mergers[i].done:
+                continue
+            d = consumed[i] / SAMPLE_RATE * 1000.0
+            mergers[i].push(toks, d, wall + d)
+    for i in range(B):
+        d = consumed[i] / SAMPLE_RATE * 1000.0
+        mergers[i].flush(d, (time.perf_counter() - t0) * 1000.0 + d)
+    return [(m.words, m.delays, m.elapsed) for m in mergers]
+
+
+def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
+                     batch_size: int = 8, log_path: Optional[str] = None
+                     ) -> Dict[str, float]:
+    """Batched `evaluate`: utterances are bucketed by chunk count (so every
+    example in a batch shares the static chunk schedule) and streamed B at a
+    time through the fused device step.  Per-example outputs are identical to
+    sequential B=1 sessions (tested in tests/test_batched_stream.py); wall-
+    clock _CA metrics reflect the batched execution."""
+    from simulst_tpu.stream.agents import chunk_geometry_ms
+    first_ms, steady_ms = chunk_geometry_ms(agent.cfg)
+    n_first = int(first_ms / 1000.0 * SAMPLE_RATE)
+    n_steady = int(steady_ms / 1000.0 * SAMPLE_RATE)
+
+    wavs = [np.asarray(w) for w in utterances]
+    buckets: Dict[int, List[int]] = {}
+    for i, w in enumerate(wavs):
+        buckets.setdefault(_chunk_count(len(w), n_first, n_steady), []).append(i)
+
+    instances: List[Optional[Instance]] = [None] * len(wavs)
+    for k, idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), batch_size):
+            group = idxs[lo: lo + batch_size]
+            results = _run_fused_batch(agent, [wavs[i] for i in group], k)
+            for i, (words, delays, elapsed) in zip(group, results):
+                instances[i] = Instance(
+                    index=i, prediction=" ".join(words),
+                    reference=references[i] if references else "",
+                    delays=delays, elapsed=elapsed,
+                    source_length_ms=len(wavs[i]) / SAMPLE_RATE * 1e3)
+
+    scores: Dict[str, float] = {}
+    if references:
+        scores["BLEU"] = corpus_bleu([x.reference for x in instances],
+                                     [x.prediction for x in instances])
+    for kind in ("AL", "AL_CA", "AP", "AP_CA", "DAL", "DAL_CA"):
+        vals = [inst.metrics()[kind] for inst in instances if inst.delays]
+        scores[kind] = float(np.mean(vals)) if vals else 0.0
+    if log_path:
+        with open(log_path, "w") as f:
+            for inst in instances:
+                f.write(json.dumps(dataclasses.asdict(inst)) + "\n")
+    return scores

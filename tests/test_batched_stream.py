@@ -1,0 +1,92 @@
+"""Batched streaming (B>1) == sequential B=1 sessions, token for token.
+
+The reference hard-asserts batch==1 in its agents
+(/root/reference/codebase/agents/cif_agent.py:341-343); here a batch of
+utterances with DIVERGENT lengths and policies streams lock-step through one
+fused device step per chunk (stream/fused.py), and the outputs must be
+identical to running each utterance alone.
+"""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from simulst_tpu.data.vocab import SPECIALS, Vocabulary
+from simulst_tpu.models.cif import CIFConfig, CIFModel
+from simulst_tpu.models.mma import MMAConfig, MMAModel
+from simulst_tpu.stream.agents import AgentConfig, CIFAgent, MMAAgent
+from simulst_tpu.stream.evaluator import evaluate_batched, run_session
+
+
+def _vocab(n=24):
+    syms = list(SPECIALS) + [f"▁w{i}" for i in range(n - 8)] + \
+        [f"x{i}" for i in range(4)]
+    return Vocabulary(syms)
+
+
+def small_kwargs(v):
+    return dict(vocab_size=len(v), input_feat=80, conv_channels=16,
+                embed_dim=16, ffn_dim=32, encoder_layers=1, encoder_heads=2,
+                decoder_layers=1, decoder_heads=2, decoder_ffn_dim=32,
+                segment_length=16, left_context=32, right_context=8,
+                max_memory=2, dropout=0.0, attention_dropout=0.0,
+                activation_dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def audios():
+    rng = np.random.RandomState(0)
+    # mixed lengths: 0.5s (own chunk-count bucket), 0.9s & 1.0s (same bucket,
+    # different final-chunk sizes incl. a zero-fbank-frame remainder), 1.3s
+    secs = [0.5, 0.9, 1.0, 1.3, 1.0]
+    return [(rng.randn(int(16000 * s)) * 0.05).astype(np.float32)
+            for s in secs]
+
+
+def _sequential(agent, audios):
+    out = []
+    for wav in audios:
+        words, delays, _ = run_session(agent, wav)
+        out.append((words, delays))
+    return out
+
+
+def _batched(agent, audios, tmp_path, batch_size):
+    log = str(tmp_path / "instances.log")
+    evaluate_batched(agent, audios, references=["r"] * len(audios),
+                     batch_size=batch_size, log_path=log)
+    inst = [json.loads(l) for l in open(log)]
+    inst.sort(key=lambda x: x["index"])
+    return [(x["prediction"].split() if x["prediction"] else [], x["delays"])
+            for x in inst]
+
+
+def test_cif_batched_matches_sequential(audios, tmp_path):
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = CIFAgent(model, params, v, acfg, fused=True)
+    seq = _sequential(agent, audios)
+    bat = _batched(agent, audios, tmp_path, batch_size=3)
+    for i, ((ws, ds), (wb, db)) in enumerate(zip(seq, bat)):
+        assert ws == wb, f"utt {i}: {ws} != {wb}"
+        np.testing.assert_allclose(ds, db, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_mma_batched_matches_sequential(audios, tmp_path):
+    v = _vocab()
+    cfg = MMAConfig(**small_kwargs(v), simul_attn_type="waitk_fixed_pre_decision",
+                    waitk_lagging=2, fixed_pre_decision_ratio=2)
+    model = MMAModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = MMAAgent(model, params, v, acfg, fused=True)
+    seq = _sequential(agent, audios)
+    bat = _batched(agent, audios, tmp_path, batch_size=3)
+    for i, ((ws, ds), (wb, db)) in enumerate(zip(seq, bat)):
+        assert ws == wb, f"utt {i}: {ws} != {wb}"
+        np.testing.assert_allclose(ds, db, atol=1e-6, err_msg=f"utt {i}")
