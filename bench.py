@@ -1,15 +1,26 @@
-"""Benchmark: per-chunk streaming encoder+decoder step latency on one chip.
+"""Benchmarks: streaming + training performance on one chip.
 
-The reference publishes no throughput numbers (BASELINE.md); the north star
-adds per-chunk streaming step latency / RTF as the perf axis.  This measures
-the full production-geometry model (s2t_emformer_s: 12-layer / 256-dim
-Emformer encoder + 6-layer decoder) doing one SimulEval READ step (640ms of
-audio -> incremental encode -> one decoder WRITE step), jitted to a single
-XLA call each.
+The reference publishes no throughput numbers (BASELINE.md); the north-star
+perf axes are per-chunk streaming step latency / RTF and training throughput.
+Metrics (one JSON line each; the headline streaming READ+WRITE line prints
+LAST and also carries every other metric in its "extra" field):
 
-Output: one JSON line; vs_baseline = real-time factor (latency / 640ms
-chunk duration; < 1.0 means faster than real time, lower is better).
+  * streaming_read_write_step_latency — full production-geometry
+    s2t_emformer_s (12x256 Emformer + 6-layer decoder) doing one SimulEval
+    READ (640ms of audio, incremental encode) + one decoder WRITE step as a
+    single XLA call.  vs_baseline = RTF (latency / 640ms chunk; lower is
+    better, < 1.0 = faster than real time).
+  * cif_fused_chunk_latency / mma_fused_chunk_latency — one FULL fused chunk
+    step (READ + all WRITEs in a device-side while_loop, stream/fused.py),
+    B=1, production geometry.
+  * batched_stream_throughput — B=8 fused CIF chunk steps; value = times
+    faster than real time aggregated over the batch
+    (B * 640ms / step_latency); the reference caps at B==1
+    (cif_agent.py:341-343).
+  * train_step_latency — jitted fwd+bwd (label-smoothed CE) on a 32x1024
+    bf16 batch; extra carries frames/sec.
 """
+import functools
 import json
 import os
 import time
@@ -18,47 +29,48 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def _cast(params, dtype):
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+
+def _time(fn, n_iter=30, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter * 1000.0
+
+
+def bench_read_write(dtype):
+    """Headline: fused READ + one WRITE, s2t geometry (no policy loop)."""
     from simulst_tpu.models import s2t_emformer as s2t
     from simulst_tpu.nn import transformer as tfm
 
     cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=False)
     model = s2t.S2TEmformerModel(cfg)
-    params = model.init(jax.random.PRNGKey(0))
+    params = _cast(model.init(jax.random.PRNGKey(0)), dtype)
 
-    # Streaming at batch=1 is weight-bandwidth-bound (~100MB of fp32 params
-    # re-read from HBM per chunk); serve in bf16 (softmax/LN still fp32
-    # internally). Override with SIMULST_BENCH_DTYPE=float32.
-    dtype = jnp.dtype(os.environ.get("SIMULST_BENCH_DTYPE", "bfloat16"))
-    if dtype != jnp.float32:
-        params = jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
-
-    # streaming geometry (reference agents/default_agent.py:364-376):
-    # steady chunk = segment_length(64 pre-stride frames) * 10ms = 640ms
     chunk_frames = cfg.segment_length
     feats = jax.random.normal(jax.random.PRNGKey(1), (1, chunk_frames, 80)).astype(dtype)
 
     enc_step = s2t.make_encoder_stepper(params["encoder"], cfg)
     state = s2t.encoder_init_state(params["encoder"], cfg, 1, dtype)
-    # warm the carry with a first (seg+rc)-sized chunk
     first = jax.random.normal(
         jax.random.PRNGKey(2),
         (1, cfg.segment_length + cfg.right_context, 80)).astype(dtype)
     out, state = enc_step(state, first)
 
-    # fixed-capacity encoder buffer + decoder state for the WRITE step
     S_MAX = 1024
     enc_buf = jnp.zeros((1, S_MAX, cfg.embed_dim), dtype)
     enc_buf = jax.lax.dynamic_update_slice(enc_buf, out.encoder_out, (0, 0, 0))
     src_len = jnp.asarray(out.encoder_out.shape[1])
     dstate = tfm.decoder_init_state(cfg.decoder, 1, 256, dtype)
     tok = jnp.array([cfg.eos_idx], jnp.int32)
-
-    # The whole READ (incremental encode + buffer append) + WRITE (one
-    # decoder step) is ONE compiled XLA call — per-step host dispatch through
-    # the runtime is ~1ms here, so fusion matters as much as FLOPs.
-    import functools
 
     @functools.partial(jax.jit, static_argnames=("carry_len",))
     def fused_read_write(sub, pos, emf_state, carry, dstate, enc_buf,
@@ -75,36 +87,122 @@ def main():
         return (ns.sub, ns.pos, ns.emf, ns.carry, dstate, enc_buf, src_len,
                 logits)
 
-    def one_read_write(state, dstate, enc_buf, src_len):
-        sub, pos, emf_state, carry, dstate, enc_buf, src_len, logits = \
-            fused_read_write(state.sub, state.pos, state.emf, state.carry,
-                             dstate, enc_buf, src_len, tok, feats,
-                             state.carry_len)
-        new_len = s2t._carry_plan(cfg, state.carry_len, feats.shape[1], False)
-        state = s2t.EncoderStreamState(sub=sub, pos=pos, emf=emf_state,
-                                       carry=carry, carry_len=new_len)
-        return state, dstate, enc_buf, src_len, logits
+    carry_len = state.carry_len  # steady-state: constant across steps
 
-    # warmup / compile
-    for _ in range(3):
-        state_w, dstate_w, enc_w, sl_w, lg = one_read_write(
-            state, dstate, enc_buf, src_len)
-        jax.block_until_ready(lg)
+    def step():
+        return fused_read_write(state.sub, state.pos, state.emf, state.carry,
+                                dstate, enc_buf, src_len, tok, feats,
+                                carry_len)[-1]
 
-    n_iter = 30
-    t0 = time.perf_counter()
-    st, ds, eb, sl = state, dstate, enc_buf, src_len
-    for _ in range(n_iter):
-        st, ds, eb, sl, lg = one_read_write(st, ds, eb, sl)
-    jax.block_until_ready(lg)
-    dt = (time.perf_counter() - t0) / n_iter * 1000.0
+    return _time(step)
 
-    chunk_ms = cfg.segment_length * 10.0  # 10ms frame shift
+
+def bench_fused_chunk(kind, dtype, batch=1):
+    """Full fused chunk step (READ + all WRITEs while_loop), CIF or MMA."""
+    from simulst_tpu.models.cif import CIFConfig, CIFModel
+    from simulst_tpu.models.mma import MMAConfig, MMAModel
+    from simulst_tpu.stream import fused
+
+    if kind == "cif":
+        cfg = CIFConfig(vocab_size=4100)
+        params = _cast(CIFModel(cfg).init(jax.random.PRNGKey(0)), dtype)
+        step_fn = fused.make_cif_fused_step(params, cfg)
+        state = fused.cif_fused_init(params, cfg, max_tokens=256, batch=batch,
+                                     dtype=dtype)
+    else:
+        cfg = MMAConfig(vocab_size=4100, ctc_layer=False)
+        params = _cast(MMAModel(cfg).init(jax.random.PRNGKey(0)), dtype)
+        step_fn = fused.make_mma_fused_step(params, cfg)
+        state = fused.mma_fused_init(params, cfg, max_src=1024,
+                                     max_tokens=256, batch=batch, dtype=dtype)
+
+    first = jax.random.normal(
+        jax.random.PRNGKey(2),
+        (batch, cfg.segment_length + cfg.right_context, 80)).astype(dtype)
+    state, _ = step_fn(state, first)
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (batch, cfg.segment_length, 80)).astype(dtype)
+
+    def step():
+        new_state, n_new = step_fn(state, feats)
+        return n_new
+
+    return _time(step, n_iter=20)
+
+
+def bench_train_step(dtype_name="bfloat16"):
+    """Jitted fwd+bwd at the 32x1024 geometry."""
+    from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
+    from simulst_tpu.models import s2t_emformer as s2t
+
+    B, T, U = 32, 1024, 64
+    cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
+                                compute_dtype=dtype_name)
+    model = s2t.S2TEmformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, T, 80))
+    feats = jnp.broadcast_to(feats, (B, T, 80))
+    lengths = jnp.full((B,), T, jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, U), 4, 4100)
+    lcfg = JointCTCConfig()
+
+    @jax.jit
+    def train_step(p):
+        def loss_fn(p):
+            logits, extra = model.forward(p, feats, lengths, tokens,
+                                          rng=jax.random.PRNGKey(3),
+                                          deterministic=False)
+            loss, _ = joint_ctc_loss(logits, extra, tokens, lcfg)
+            return loss / (B * U)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        return loss, jax.tree_util.tree_reduce(
+            lambda a, g: a + (g.astype(jnp.float32) ** 2).sum(), grads, 0.0)
+
+    dt = _time(lambda: train_step(params), n_iter=10, warmup=2)
+    return dt, B * T / (dt / 1000.0)
+
+
+def main():
+    dtype = jnp.dtype(os.environ.get("SIMULST_BENCH_DTYPE", "bfloat16"))
+    chunk_ms = 640.0  # segment_length(64) * 10ms frame shift
+
+    extra = {}
+
+    cif_ms = bench_fused_chunk("cif", dtype)
+    extra["cif_fused_chunk_latency_ms"] = round(cif_ms, 3)
+    print(json.dumps({"metric": "cif_fused_chunk_latency",
+                      "value": round(cif_ms, 3), "unit": "ms",
+                      "vs_baseline": round(cif_ms / chunk_ms, 4)}))
+
+    mma_ms = bench_fused_chunk("mma", dtype)
+    extra["mma_fused_chunk_latency_ms"] = round(mma_ms, 3)
+    print(json.dumps({"metric": "mma_fused_chunk_latency",
+                      "value": round(mma_ms, 3), "unit": "ms",
+                      "vs_baseline": round(mma_ms / chunk_ms, 4)}))
+
+    bsz = 8
+    bat_ms = bench_fused_chunk("cif", dtype, batch=bsz)
+    thr = bsz * chunk_ms / bat_ms
+    extra["batched_stream_throughput_x_realtime"] = round(thr, 1)
+    extra["batched_stream_chunk_latency_ms"] = round(bat_ms, 3)
+    print(json.dumps({"metric": "batched_stream_throughput",
+                      "value": round(thr, 1), "unit": "x_realtime_b8",
+                      "vs_baseline": round(thr, 1)}))
+
+    train_ms, fps = bench_train_step()
+    extra["train_step_latency_ms"] = round(train_ms, 3)
+    extra["train_frames_per_sec"] = round(fps)
+    print(json.dumps({"metric": "train_step_latency",
+                      "value": round(train_ms, 3), "unit": "ms",
+                      "vs_baseline": round(fps)}))
+
+    dt = bench_read_write(dtype)
     print(json.dumps({
         "metric": "streaming_read_write_step_latency",
         "value": round(dt, 3),
         "unit": "ms",
         "vs_baseline": round(dt / chunk_ms, 4),
+        "extra": extra,
     }))
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,14 +105,44 @@ def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
     return res.tokens[:, 0], res.lengths[:, 0]
 
 
+def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
+    """Greedy emit-scan decode over the full lattice (the reference's
+    incremental decode with the forced emit at the source EOS,
+    transducer_model.py:165-209; beam search is not defined for this path)."""
+    from simulst_tpu.models.transducer import downsample_pool
+    cfg = model.cfg
+    enc = s2t.encoder_forward(params["encoder"], cfg,
+                              jnp.asarray(batch["feats"]),
+                              jnp.asarray(batch["feat_lengths"]))
+    src, src_lens = downsample_pool(enc.encoder_out, enc.lengths,
+                                    cfg.downsample)
+    b = batch["feats"].shape[0]
+    state = model.init_decode_state(b, beam_cfg.max_len + 1)
+
+    step = jax.jit(lambda st, tok: model.decode_step(params, st, tok, src,
+                                                     src_lens, online=False))
+
+    def step_fn(st, tokens):
+        logits, _, st = step(st, tokens)
+        return logits, st
+
+    # greedy only: first decode = bos(=blank), reference replaces it
+    tokens, lengths = greedy_decode(step_fn, state, b, beam_cfg,
+                                    bos=cfg.blank_idx)
+    return tokens, lengths
+
+
 def decode_batch(model, params, batch, beam_cfg: BeamConfig):
     """Returns (tokens (B, L), lengths (B,)) best hypotheses."""
     from simulst_tpu.models.cif import CIFModel
     from simulst_tpu.models.mma import MMAModel
+    from simulst_tpu.models.transducer import TransducerModel
     if isinstance(model, CIFModel):
         return decode_batch_cif(model, params, batch, beam_cfg)
     if isinstance(model, MMAModel):
         return decode_batch_mma(model, params, batch, beam_cfg)
+    if isinstance(model, TransducerModel):
+        return decode_batch_transducer(model, params, batch, beam_cfg)
     cfg = model.cfg
     enc = s2t.encoder_forward(params["encoder"], cfg,
                               jnp.asarray(batch["feats"]),

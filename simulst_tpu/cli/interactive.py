@@ -1,6 +1,6 @@
 """Interactive decode CLI — the eval/interactive.py replacement.
 
-Reads wav paths (speech task) or raw text (future MT) from stdin, decodes
+Reads wav paths (speech task) or raw text (MT task) from stdin, decodes
 each with beam search, prints H- lines (reference eval/interactive.py:42-105,
 used by eval_st.sh:33-47 with wav-path lines).
 """

@@ -18,8 +18,9 @@ from simulst_tpu import config as cfglib
 from simulst_tpu.data.mustc import read_wav
 from simulst_tpu.data.vocab import Vocabulary
 from simulst_tpu.models import get_model
-from simulst_tpu.stream.agents import AgentConfig, CIFAgent, MMAAgent
-from simulst_tpu.stream.evaluator import evaluate
+from simulst_tpu.stream.agents import (AgentConfig, CIFAgent, MMAAgent,
+                                        TransducerAgent)
+from simulst_tpu.stream.evaluator import evaluate, evaluate_batched
 from simulst_tpu.train.checkpoint import load_checkpoint
 
 
@@ -29,7 +30,8 @@ def main(argv=None):
     p.add_argument("--target", required=True, help="reference text file")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--vocab", required=True)
-    p.add_argument("--agent", default="mma", choices=["mma", "waitk", "cif"])
+    p.add_argument("--agent", default="mma",
+                   choices=["mma", "waitk", "cif", "transducer"])
     p.add_argument("--model", default=None)
     p.add_argument("--output", default="simul_out")
     p.add_argument("--waitk", type=int, default=None,
@@ -44,14 +46,20 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="fused device-side chunk steps (one XLA call per "
                         "chunk incl. all WRITEs)")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 streams B utterances per device call (requires "
+                        "--fused; chunk-count-bucketed lock-step batching)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax profiler trace of one streaming chunk")
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
 
     vocab = (Vocabulary.from_spm(args.vocab) if args.vocab.endswith(".model")
              else Vocabulary.from_txt(args.vocab))
     restored, meta = load_checkpoint(args.checkpoint)
-    model_name = args.model or (meta or {}).get(
-        "model", "mma" if args.agent in ("mma", "waitk") else "cif")
+    default_model = {"cif": "cif", "transducer": "transducer"}.get(
+        args.agent, "mma")
+    model_name = args.model or (meta or {}).get("model", default_model)
     model_cls = get_model(model_name)
     overrides = dict(cfglib.parse_override(s) for s in args.override)
     base = ((meta or {}).get("config") or {})
@@ -70,6 +78,9 @@ def main(argv=None):
     if args.agent in ("mma", "waitk"):
         agent = MMAAgent(model, restored, vocab, acfg, global_cmvn=gcmvn,
                          fused=args.fused)
+    elif args.agent == "transducer":
+        agent = TransducerAgent(model, restored, vocab, acfg,
+                                global_cmvn=gcmvn)
     else:
         agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta,
                          global_cmvn=gcmvn, fused=args.fused)
@@ -87,9 +98,23 @@ def main(argv=None):
         wav, sr = read_wav(wp)
         utts.append(wav)
 
+    if args.profile:
+        # trace one full session (compile-warm: run one utterance first)
+        from simulst_tpu.stream.evaluator import run_session
+        run_session(agent, utts[0])
+        with jax.profiler.trace(args.profile):
+            run_session(agent, utts[0])
+        print(f"profiler trace written to {args.profile}")
+
     os.makedirs(args.output, exist_ok=True)
-    scores = evaluate(agent, utts, refs,
-                      log_path=os.path.join(args.output, "instances.log"))
+    log = os.path.join(args.output, "instances.log")
+    if args.batch_size > 1:
+        assert args.fused and args.agent != "transducer", \
+            "--batch-size > 1 requires --fused (cif/mma/waitk)"
+        scores = evaluate_batched(agent, utts, refs,
+                                  batch_size=args.batch_size, log_path=log)
+    else:
+        scores = evaluate(agent, utts, refs, log_path=log)
     with open(os.path.join(args.output, "scores"), "w") as f:
         json.dump(scores, f, indent=2)
     print(json.dumps(scores, indent=2))

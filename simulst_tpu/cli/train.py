@@ -48,8 +48,7 @@ def build_loss(args, model):
             return loss, {"loss": loss, "nll_loss": nll, "ntokens": ntokens,
                           "nsentences": batch["target"].shape[0],
                           "sample_size": ntokens}
-        return fn
-    if args.loss == "joint_ctc":
+    elif args.loss == "joint_ctc":
         lcfg = cfglib.apply_overrides(JointCTCConfig(), args.loss_overrides)
 
         def fn(params, batch, rng):
@@ -77,14 +76,24 @@ def build_loss(args, model):
                 batch["prev_tokens"], rng=rng, deterministic=False)
             return cif_loss(logits, extra, batch["target"],
                             batch["feat_lengths"], lcfg)
+    elif args.loss == "rnnt":
+        from simulst_tpu.losses.rnnt_loss import RNNTLossConfig, rnnt_criterion
+        lcfg = cfglib.apply_overrides(RNNTLossConfig(), args.loss_overrides)
+
+        def fn(params, batch, rng):
+            lattice, extra = model.forward(
+                params, batch["feats"], batch["feat_lengths"],
+                batch["prev_tokens"], rng=rng, deterministic=False)
+            return rnnt_criterion(lattice, extra, lcfg)
     else:
         raise ValueError(args.loss)
     if args.specaugment:
         inner = fn
 
         def fn(params, batch, rng):  # noqa: F811
-            if rng is None:  # validation path: no augmentation
-                return inner(params, batch, None)
+            # validation (rng None) and text batches skip augmentation
+            if rng is None or "feats" not in batch:
+                return inner(params, batch, rng)
             r1, r2 = jax.random.split(rng)
             batch = dict(batch, feats=spec_augment(
                 r1, batch["feats"], batch["feat_lengths"]))
@@ -144,7 +153,7 @@ def main(argv=None):
     p.add_argument("--model", default="s2t_emformer")
     p.add_argument("--task", default="st", choices=["asr", "st", "mt"])
     p.add_argument("--loss", default="joint_ctc",
-                   choices=["joint_ctc", "mma", "cif", "ce"])
+                   choices=["joint_ctc", "mma", "cif", "rnnt", "ce"])
     p.add_argument("--save-dir", default="checkpoints")
     p.add_argument("--max-updates", type=int, default=100000)
     p.add_argument("--max-tokens", type=int, default=40000)
@@ -185,6 +194,15 @@ def main(argv=None):
     p.add_argument("--best-metric", default=None,
                    help="metric for best-checkpoint selection "
                         "(default: eval metric if set, else loss)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also log scalars to <save-dir>/tb (reference "
+                        "tensorboard dep, requirements.txt:10-11)")
+    p.add_argument("--wandb-project", default=None,
+                   help="wandb project (reference exp/1a-pretrain_asr.sh:29; "
+                        "skipped if wandb is not installed)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax profiler trace of one post-warmup "
+                        "train step to DIR")
     args = p.parse_args(argv)
     args.overrides = dict(cfglib.parse_override(s) for s in args.override)
     args.loss_overrides = dict(cfglib.parse_override(s) for s in args.loss_override)
@@ -253,7 +271,10 @@ def main(argv=None):
     loop_cfg = LoopConfig(max_updates=args.max_updates, patience=args.patience,
                           save_dir=args.save_dir, seed=args.seed,
                           best_metric=best_metric,
-                          maximize_metric=best_metric == "bleu")
+                          maximize_metric=best_metric == "bleu",
+                          tensorboard=args.tensorboard,
+                          wandb_project=args.wandb_project,
+                          profile_dir=args.profile)
     freeze = ({"encoder": args.encoder_freezing_updates}
               if args.encoder_freezing_updates > 0 else None)
     trainer = Trainer(loss_fn, optim_cfg, loop_cfg, params,

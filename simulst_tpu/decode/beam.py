@@ -131,9 +131,10 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
 
 
 def greedy_decode(step_fn: Callable, init_state, batch_size: int,
-                  cfg: BeamConfig):
+                  cfg: BeamConfig, bos: int = None):
     """Greedy (beam=1) decode via lax.scan. Returns (tokens (B, max_len),
-    lengths (B,))."""
+    lengths (B,)).  bos overrides the first input token (default eos, the
+    fairseq convention; the transducer starts from blank)."""
     def body(carry, t):
         state, prev, done, tokens = carry
         logits, state = step_fn(state, prev)
@@ -144,7 +145,8 @@ def greedy_decode(step_fn: Callable, init_state, batch_size: int,
         return (state, nxt, done, tokens), None
 
     tokens0 = jnp.full((batch_size, cfg.max_len), cfg.pad_idx, jnp.int32)
-    prev0 = jnp.full((batch_size,), cfg.eos_idx, jnp.int32)
+    prev0 = jnp.full((batch_size,), cfg.eos_idx if bos is None else bos,
+                     jnp.int32)
     done0 = jnp.zeros((batch_size,), bool)
     (state, _, _, tokens), _ = jax.lax.scan(
         body, (init_state, prev0, done0, tokens0), jnp.arange(cfg.max_len))

@@ -60,10 +60,16 @@ def quantity_loss(alpha, ctc_lprobs, encoder_lengths, target, target_lengths,
             ctc_lprobs, encoder_lengths, target, target_lengths,
             blank=cfg.blank_idx))                               # (B, S)
         seg_ids = states // 2
-        seg_next = jnp.roll(seg_ids, -1, axis=1)
-        boundary = (seg_ids != seg_next) & (states % 2 != 0)
+        # shifted pad (NOT roll): the frame after each example's last valid
+        # frame doesn't exist, so the last valid emit frame is always a
+        # segment boundary (roll would compare against frame 0 and miss it
+        # in single-segment corner cases)
+        seg_next = jnp.concatenate(
+            [seg_ids[:, 1:], jnp.full((b, 1), -1, seg_ids.dtype)], axis=1)
+        next_invalid = jnp.arange(s)[None, :] + 1 >= encoder_lengths[:, None]
         enc_valid = jnp.arange(s)[None, :] < encoder_lengths[:, None]
-        boundary = boundary & enc_valid
+        boundary = ((seg_ids != seg_next) | next_invalid) \
+            & (states % 2 != 0) & enc_valid
         q_targets = jnp.cumsum(boundary, axis=1).astype(jnp.float32)
         q_out = jnp.cumsum(alpha, axis=1) / beta
         l2 = _clipped_l2(q_out, q_targets, cfg.quant_clip)

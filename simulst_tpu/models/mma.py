@@ -205,7 +205,6 @@ def mma_attention_forward(p, cfg: MMAConfig, query, key, value,
     h = cfg.decoder_heads
     pc = mma_p_choose_train(p, cfg, query, key, key_padding_mask, rng)
 
-    kpm_rep = key_padding_mask
     pc_flat = pc.reshape(b * h, tq, s)
     kpm_flat = (jnp.repeat(key_padding_mask, h, axis=0)
                 if key_padding_mask is not None else None)

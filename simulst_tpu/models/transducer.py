@@ -200,11 +200,17 @@ class TransducerModel:
             step=jnp.zeros((batch,), jnp.int32))
 
     def decode_step(self, params, state: TransducerState, token, src_buf,
-                    src_len):
+                    src_len, online=False):
         """One label step over the current source prefix (reference :165-209).
 
         token: (B,) previous label (bos at start). Returns
-        (logits (B,V) at the chosen frame, new_state).
+        (logits (B,V) at the chosen frame, emitted (B,) bool, new_state).
+
+        online: when True (source still growing) the emit at the source EOS
+        is NOT forced; emitted=False means every visible frame predicted
+        blank — the streaming agent's READ signal (rollback = not adopting
+        new_state).  Offline (online=False) a non-blank emit is forced at the
+        last frame, so emitted is always True.
         """
         cfg = self.cfg
         dcfg = cfg.decoder
@@ -228,9 +234,11 @@ class TransducerModel:
         bos = cfg.blank_idx
         src_eos = src_len - 1
         # force emit at the current source EOS (reference :170-180 always
-        # biases blank to -1e4 at the last frame during incremental decode)
+        # biases blank to -1e4 at the last frame during incremental decode);
+        # skipped while online so an all-blank prefix turns into a READ
         eos_onehot = jnp.arange(s_max)[None, :] == src_eos[:, None]
-        lattice = jnp.where(eos_onehot[:, :, None]
+        force = ~jnp.asarray(online)
+        lattice = jnp.where(force & eos_onehot[:, :, None]
                             & (jnp.arange(lattice.shape[-1]) == bos)[None, None, :],
                             -1e4, lattice)
         # frames beyond the valid source or before prev_emit become exactly
@@ -242,9 +250,11 @@ class TransducerModel:
                             lattice)
         preds = lattice.argmax(-1)                               # (B, S)
         nonblank = preds != bos
+        emitted = nonblank.any(axis=1)
         new_emit = jnp.argmax(jnp.cumsum(nonblank, axis=1) == 1, axis=1)
+        new_emit = jnp.where(emitted, new_emit, state.prev_emit)
         logits = jnp.take_along_axis(lattice, new_emit[:, None, None], axis=1)[:, 0]
         new_state = TransducerState(caches=tuple(new_caches),
                                     prev_emit=new_emit.astype(jnp.int32),
                                     step=state.step + 1)
-        return logits, new_state
+        return logits, emitted, new_state

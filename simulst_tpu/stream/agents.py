@@ -366,3 +366,60 @@ class CIFAgent(SpeechAgent):
         assert self.fused, "batched streaming requires fused=True"
         return FusedBatchSession(self, self._fused_init(batch),
                                  self._fused_step, batch)
+
+
+# ---------------------------------------------------------------------------
+# Transducer agent
+# ---------------------------------------------------------------------------
+
+class TransducerSession(StreamingSession):
+    """Streaming greedy transducer (reference transducer_model.py:165-239):
+    each WRITE attempt scans the visible source frames from the last emit
+    position for the first non-blank prediction; all-blank means READ (the
+    attempt's label-encoder state is simply not adopted)."""
+
+    def __init__(self, agent):
+        super().__init__(agent)
+        self.dec_state = agent.model.init_decode_state(
+            1, agent.acfg.max_tgt_len)
+        self._attempt = None
+
+    def policy(self) -> int:
+        if not self._got_first:
+            return READ
+        blank = self.agent.cfg.blank_idx
+        prev = jnp.array([self.target_ids[-1] if self.target_ids else blank],
+                         jnp.int32)
+        logits, emitted, new_state = self.agent.dec_step(
+            self.dec_state, prev, self.enc_buf, jnp.array([self.src_len]),
+            jnp.asarray(not self.finished_read))
+        if not bool(emitted[0]):
+            self._attempt = None
+            return READ
+        self._attempt = (logits, new_state)
+        return WRITE
+
+    def predict(self) -> Optional[int]:
+        logits, new_state = self._attempt
+        idx = int(jnp.argmax(logits[0]))
+        if (self.agent.acfg.force_finish and idx == EOS
+                and not self.finished_read):
+            self._attempt = None
+            return None
+        self.dec_state = new_state
+        self.target_ids.append(idx)
+        if idx == EOS or len(self.target_ids) >= self.agent.acfg.max_tgt_len - 1:
+            self.finished = True
+        return idx
+
+
+class TransducerAgent(SpeechAgent):
+    session_cls = TransducerSession
+
+    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None):
+        assert model.cfg.downsample <= 1, \
+            "streaming transducer agent requires downsample == 1"
+        super().__init__(model, params, vocab, acfg, global_cmvn)
+        self.dec_step = jax.jit(
+            lambda st, tok, buf, n, online: model.decode_step(
+                self.params, st, tok, buf, n, online))

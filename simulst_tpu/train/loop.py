@@ -36,6 +36,43 @@ class LoopConfig:
     patience: int = 0
     save_dir: str = "checkpoints"
     seed: int = 1
+    # observability (the reference's --wandb-project / tensorboard deps,
+    # exp/1a-pretrain_asr.sh:29, requirements.txt:10-11); both optional and
+    # silently skipped when the package is absent
+    tensorboard: bool = False
+    wandb_project: Optional[str] = None
+    # write a jax profiler trace of one post-warmup train step here
+    profile_dir: Optional[str] = None
+
+
+def _make_sinks(cfg: LoopConfig):
+    """Extra metric sinks behind the jsonl log: tensorboard and/or wandb."""
+    sinks = []
+    if cfg.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(os.path.join(cfg.save_dir, "tb"))
+
+            def tb_sink(record):
+                step = int(record.get("update",
+                                      record.get("valid_update", 0)))
+                for k, v in record.items():
+                    if isinstance(v, (int, float)) and k not in (
+                            "update", "valid_update", "epoch"):
+                        writer.add_scalar(k, v, step)
+                writer.flush()
+            sinks.append(tb_sink)
+        except ImportError:
+            print("tensorboard unavailable; skipping sink")
+    if cfg.wandb_project:
+        try:
+            import wandb
+            wandb.init(project=cfg.wandb_project, dir=cfg.save_dir,
+                       resume="allow")
+            sinks.append(lambda record: wandb.log(record))
+        except ImportError:
+            print("wandb unavailable; skipping sink")
+    return sinks
 
 
 class Trainer:
@@ -62,6 +99,7 @@ class Trainer:
         self.bad_epochs = 0
         os.makedirs(loop_cfg.save_dir, exist_ok=True)
         self.log_path = os.path.join(loop_cfg.save_dir, "train_log.jsonl")
+        self.sinks = _make_sinks(loop_cfg)
 
     def log(self, record: Dict):
         record = {k: (float(v) if hasattr(v, "item") or
@@ -70,8 +108,11 @@ class Trainer:
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         print(json.dumps(record), flush=True)
+        for sink in self.sinks:
+            sink(record)
 
-    def _maybe_save_best(self, metrics: Dict[str, float]):
+    def _maybe_save_best(self, metrics: Dict[str, float],
+                         count_patience: bool = False):
         cfg = self.loop_cfg
         value = metrics.get(cfg.best_metric)
         if value is None:
@@ -84,7 +125,10 @@ class Trainer:
         if better:
             self.best = value
             self.bad_epochs = 0
-        else:
+        elif count_patience:
+            # fairseq --patience counts EPOCH-end validations without
+            # improvement (validate-interval defaults to one epoch); mid-epoch
+            # interval validations checkpoint but don't burn patience
             self.bad_epochs += 1
         # prune beyond keep_best
         from simulst_tpu.train.checkpoint import find_best_checkpoints
@@ -103,7 +147,19 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         t0 = time.time()
         updates = int(self.state.step)   # nonzero after resume()
+        profile_at = updates + 5 if cfg.profile_dir else -1
         accum_grads, accum_metrics, n_accum = None, None, 0
+
+        def run_step(fn, *a):
+            # one post-warmup step under the jax profiler (--profile)
+            if updates == profile_at:
+                with jax.profiler.trace(cfg.profile_dir):
+                    out = fn(*a)
+                    jax.block_until_ready(out)
+                self.log({"profile_trace": cfg.profile_dir,
+                          "update": updates})
+                return out
+            return fn(*a)
         for epoch in range(cfg.max_epochs):
             for batch in batch_iter_fn(epoch):
                 rng, sub = jax.random.split(rng)
@@ -121,12 +177,13 @@ class Trainer:
                     n_accum += 1
                     if n_accum < self.update_freq:
                         continue
-                    self.state, metrics = self.apply_step(
-                        self.state, accum_grads, accum_metrics)
+                    self.state, metrics = run_step(
+                        self.apply_step, self.state, accum_grads,
+                        accum_metrics)
                     accum_grads, accum_metrics, n_accum = None, None, 0
                 else:
-                    self.state, metrics = self.train_step(self.state, batch,
-                                                          sub)
+                    self.state, metrics = run_step(self.train_step,
+                                                   self.state, batch, sub)
                 updates += 1
                 if updates % cfg.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -137,21 +194,24 @@ class Trainer:
                               "ups": updates / (time.time() - t0)})
                 if updates % cfg.validate_interval_updates == 0:
                     self.validate(updates)
-                    if cfg.patience and self.bad_epochs >= cfg.patience:
-                        self.log({"early_stop": updates})
-                        return self.state
                 if updates >= cfg.max_updates:
                     self.validate(updates)
                     return self.state
+            # end of epoch: the patience-counting validation (fairseq
+            # validates per epoch; --patience 25 == 25 epochs)
+            self.validate(updates, count_patience=True)
+            if cfg.patience and self.bad_epochs >= cfg.patience:
+                self.log({"early_stop": updates, "epoch": epoch})
+                return self.state
         return self.state
 
-    def validate(self, updates: int):
+    def validate(self, updates: int, count_patience: bool = False):
         self.save_last()
         if self.valid_fn is None:
             return
         metrics = self.valid_fn(self.state.params)
         self.log({"valid_update": updates, **metrics})
-        self._maybe_save_best(metrics)
+        self._maybe_save_best(metrics, count_patience=count_patience)
 
     def save_last(self):
         """Full resumable state (params + optimizer + step), the fairseq

@@ -49,3 +49,26 @@ def test_quantity_loss_align_mode_hand_case():
     l2, _ = quantity_loss(alpha2, lprobs, jnp.array([4]), jnp.array([[1, 2]]),
                           jnp.array([2]), cfg)
     assert float(l2) > 0.1
+
+
+def test_quantity_align_single_segment_boundary():
+    """Single-label utterance: the LAST VALID frame must be a boundary even
+    with no following segment (a roll-based next-frame comparison would wrap
+    to frame 0 and miss it)."""
+    cfg = CIFLossConfig(quant_type="align", cif_beta=1.0, quant_clip=100.0,
+                        blank_idx=0)
+    # one label spanning all 4 valid frames: states [1, 1, 1, 1]
+    logits = np.full((1, 5, 3), -10.0, np.float32)
+    for t in range(5):
+        logits[0, t, 1] = 10.0
+    lprobs = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    # cumsum(alpha)/beta at the last valid frame (index 3) == 1 -> loss 0
+    alpha = jnp.array([[0.25, 0.25, 0.25, 0.25, 9.9]])   # frame 4 is padding
+    l, _ = quantity_loss(alpha, lprobs, jnp.array([4]), jnp.array([[1]]),
+                         jnp.array([1]), cfg)
+    np.testing.assert_allclose(float(l), 0.0, atol=1e-5)
+    # off-boundary alpha must be penalized (proves the boundary exists)
+    alpha2 = jnp.array([[0.1, 0.1, 0.1, 0.1, 9.9]])
+    l2, _ = quantity_loss(alpha2, lprobs, jnp.array([4]), jnp.array([[1]]),
+                          jnp.array([1]), cfg)
+    assert float(l2) > 0.1

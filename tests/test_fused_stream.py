@@ -90,7 +90,7 @@ def mma_reference_loop(params, cfg, chunks, max_src=64, max_tokens=32):
             logits, action, new_dec = mma_mod.mma_decoder_step(
                 params["decoder"], cfg, dec_state, prev, enc_buf,
                 jnp.array([src_len]), jnp.asarray(not finish))
-            if int(action) == 0:
+            if int(action[0]) == 0:
                 dec_state = mma_mod.adopt_on_read(dec_state, new_dec)
                 break
             tok = int(jnp.argmax(logits[0]))

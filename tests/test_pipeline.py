@@ -169,3 +169,24 @@ def test_resume_roundtrip(tiny_data, tmp_path):
                     jax.tree.leaves(tr_res.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_patience_counts_epoch_end_validations_only(tmp_path):
+    """fairseq --patience N == N epoch-end validations without improvement
+    (mid-epoch interval validations checkpoint but don't burn patience)."""
+    from simulst_tpu.train.loop import LoopConfig, Trainer
+    from simulst_tpu.train.optim import OptimConfig
+
+    params = {"w": jnp.zeros((2, 2))}
+    tr = Trainer(lambda p, b, r: (jnp.zeros(()), {}), OptimConfig(),
+                 LoopConfig(save_dir=str(tmp_path), patience=2), params)
+    tr._maybe_save_best({"loss": 1.0}, count_patience=True)   # best
+    assert tr.bad_epochs == 0
+    for _ in range(5):  # mid-epoch validations: no patience burn
+        tr._maybe_save_best({"loss": 2.0}, count_patience=False)
+    assert tr.bad_epochs == 0
+    tr._maybe_save_best({"loss": 2.0}, count_patience=True)
+    tr._maybe_save_best({"loss": 2.0}, count_patience=True)
+    assert tr.bad_epochs == 2
+    tr._maybe_save_best({"loss": 0.5}, count_patience=True)   # new best resets
+    assert tr.bad_epochs == 0

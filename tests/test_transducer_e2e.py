@@ -1,0 +1,100 @@
+"""Transducer end-to-end wiring: rnnt training loss converges, offline
+greedy decode runs, and the streaming agent emits tokens.
+
+Covers the reference's transducer path (transducer_model.py:165-239 +
+criterion/rnnt_criterion.py:44-147 + eval/eval_transducer.sh), which round 1
+left unwired.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from simulst_tpu.data.vocab import SPECIALS, Vocabulary
+from simulst_tpu.losses.rnnt_loss import RNNTLossConfig, rnnt_criterion
+from simulst_tpu.models.transducer import TransducerConfig, TransducerModel
+from simulst_tpu.stream.agents import AgentConfig, TransducerAgent
+from simulst_tpu.stream.evaluator import run_session
+
+
+def _vocab(n=24):
+    syms = list(SPECIALS) + [f"▁w{i}" for i in range(n - 8)] + \
+        [f"x{i}" for i in range(4)]
+    return Vocabulary(syms)
+
+
+def _cfg(v):
+    return TransducerConfig(
+        vocab_size=len(v), input_feat=80, conv_channels=16, embed_dim=16,
+        ffn_dim=32, encoder_layers=1, encoder_heads=2, decoder_layers=1,
+        decoder_heads=2, decoder_ffn_dim=32, segment_length=16,
+        left_context=32, right_context=8, max_memory=2, ctc_layer=False,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    v = _vocab()
+    cfg = _cfg(v)
+    model = TransducerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 48, 80).astype(np.float32))
+    lengths = jnp.array([48, 40], jnp.int32)
+    # prev_tokens fairseq-style: eos-fronted, right-padded
+    prev = jnp.asarray([[2, 5, 6, 7], [2, 8, 9, 1]], jnp.int32)
+    return v, cfg, model, params, feats, lengths, prev
+
+
+def test_rnnt_training_converges(setup):
+    """A few optimization steps on one fixed batch must reduce the loss
+    (the --loss rnnt wiring, cli/train.py)."""
+    import optax
+    v, cfg, model, params, feats, lengths, prev = setup
+    lcfg = RNNTLossConfig()
+
+    def loss_fn(p):
+        lattice, extra = model.forward(p, feats, lengths, prev)
+        loss, metrics = rnnt_criterion(lattice, extra, lcfg)
+        return loss / jnp.maximum(metrics["ntokens"], 1)
+
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    p = params
+    losses = []
+    for _ in range(25):
+        p, opt_state, loss = step(p, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_offline_greedy_decode(setup):
+    from simulst_tpu.cli.generate import decode_batch
+    from simulst_tpu.decode.beam import BeamConfig
+    v, cfg, model, params, feats, lengths, prev = setup
+    batch = {"feats": np.asarray(feats), "feat_lengths": np.asarray(lengths)}
+    tokens, lens = decode_batch(model, params, batch,
+                                BeamConfig(beam_size=1, max_len=8))
+    assert tokens.shape == (2, 8)
+    assert (np.asarray(lens) >= 1).all()
+
+
+def test_streaming_agent_emits(setup):
+    v, cfg, model, params, feats, lengths, prev = setup
+    agent = TransducerAgent(model, params, v,
+                            AgentConfig(max_tgt_len=16, max_src_frames=128))
+    audio = (np.random.RandomState(1).randn(12000) * 0.05).astype(np.float32)
+    words, delays, elapsed = run_session(agent, audio)
+    # random weights: content is arbitrary, but the protocol must terminate
+    # with per-word delays within the utterance duration
+    assert len(words) == len(delays)
+    assert all(0 < d <= 760.0 for d in delays), delays
