@@ -2,9 +2,11 @@
 
 Special ids are PINNED to the reference's layout
 (/root/reference/DATA/data_utils.py:26-48: UNK=3 via spm user settings;
-fairseq Dictionary: bos=0, pad=1, eos=2, unk=3).  SPM training/encoding is
-gated on the `sentencepiece` package (absent in this image); a whitespace /
-character fallback keeps the pipeline and tests runnable without it.
+fairseq Dictionary: bos=0, pad=1, eos=2, unk=3).  SPM models load and train
+through the NATIVE implementation in data/spm.py (ModelProto IO + unigram
+Viterbi + EM trainer), so neither reading the reference's released `.model`
+files nor training a fresh unigram vocab needs the sentencepiece package;
+when that package IS present it is preferred for bit-exact segmentation.
 """
 from __future__ import annotations
 
@@ -37,8 +39,12 @@ class Vocabulary:
 
     @classmethod
     def from_spm(cls, model_path: str) -> "Vocabulary":
-        import sentencepiece as sp
-        m = sp.SentencePieceProcessor(model_file=model_path)
+        try:
+            import sentencepiece as sp
+            m = sp.SentencePieceProcessor(model_file=model_path)
+        except ImportError:
+            from simulst_tpu.data.spm import UnigramModel, load_model
+            m = UnigramModel(load_model(model_path))
         syms = list(SPECIALS)
         for i in range(m.get_piece_size()):
             piece = m.id_to_piece(i)
@@ -50,36 +56,39 @@ class Vocabulary:
 
     @classmethod
     def build(cls, texts, vocab_size: int = 4096, model_type: str = "unigram",
-              save_prefix: Optional[str] = None) -> "Vocabulary":
+              save_prefix: Optional[str] = None,
+              user_defined: Optional[List[str]] = None) -> "Vocabulary":
         """Train an SPM vocab with pinned special ids (mirrors the
-        reference's gen_vocab, data_utils.py:32-70); falls back to a
-        frequency word vocab when sentencepiece is unavailable."""
+        reference's gen_vocab, data_utils.py:32-70).  Uses the sentencepiece
+        package when available, else the native unigram trainer
+        (data/spm.py); either way writes `.model` + fairseq-style `.txt`."""
+        import tempfile
         try:
             import sentencepiece as sp
         except ImportError:
-            from collections import Counter
-            counts = Counter(w for t in texts for w in t.split())
-            # store word-level symbols with the SPM BOW marker so
-            # encode/decode round-trips like a real spm vocab
-            syms = list(SPECIALS) + ["▁" + w for w, _ in
-                                     counts.most_common(vocab_size - 4)]
-            v = cls(syms)
-            if save_prefix:
-                with open(save_prefix + ".txt", "w") as f:
-                    for s in syms[4:]:
-                        f.write(f"{s} 1\n")
-            return v
-        import tempfile
+            from simulst_tpu.data import spm as nspm
+            texts = list(texts)
+            pieces = nspm.train_unigram(texts, vocab_size=vocab_size,
+                                        user_defined=user_defined)
+            prefix = save_prefix or tempfile.mktemp()
+            nspm.save_model(prefix + ".model", pieces)
+            with open(prefix + ".txt", "w") as f:
+                for p, _, _ in pieces[4:]:
+                    f.write(f"{p} 1\n")
+            return cls.from_spm(prefix + ".model")
         with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
             for t in texts:
                 f.write(t + "\n")
             tmp = f.name
         prefix = save_prefix or tempfile.mktemp()
+        kwargs = {}
+        if user_defined:
+            kwargs["user_defined_symbols"] = ",".join(user_defined)
         sp.SentencePieceTrainer.train(
             input=tmp, model_prefix=prefix, model_type=model_type,
             vocab_size=vocab_size,
             unk_id=UNK, bos_id=BOS, eos_id=EOS, pad_id=PAD,
-            character_coverage=1.0)
+            character_coverage=1.0, **kwargs)
         os.unlink(tmp)
         return cls.from_spm(prefix + ".model")
 

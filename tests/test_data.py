@@ -27,13 +27,14 @@ def test_manifest_tsv_roundtrip(tmp_path):
     assert mf.load_tsv(p) == rows
 
 
-def test_vocab_fallback_encode_decode():
-    v = Vocabulary.build(["hello world", "world peace"], vocab_size=10)
+def test_vocab_native_spm_encode_decode():
+    # native unigram trainer (data/spm.py): round-trips and covers all chars
+    v = Vocabulary.build(["hello world", "world peace"], vocab_size=24)
     ids = v.encode("hello world")
     assert ids[-1] == EOS
     assert v.decode_ids(ids) == "hello world"
-    # unknown word -> UNK but still decodes the rest
-    ids2 = v.encode("hello mars")
+    # unknown CHARACTER -> UNK but still decodes the rest
+    ids2 = v.encode("hello θ")
     assert 3 in ids2
 
 
@@ -82,6 +83,6 @@ def test_mtl_src_targets(tmp_path):
     batch = next(make_batches(ds))
     assert "src_target" in batch
     assert batch["src_target"].shape[0] == batch["target"].shape[0]
-    # src has 3 words + eos, tgt has 2 + eos
-    assert (batch["src_target"][0] != PAD).sum() == 4
-    assert (batch["target"][0] != PAD).sum() == 3
+    # src_target/target are the encoded texts + eos (segmentation-agnostic)
+    assert (batch["src_target"][0] != PAD).sum() == len(v.encode("a b c"))
+    assert (batch["target"][0] != PAD).sum() == len(v.encode("x y"))
