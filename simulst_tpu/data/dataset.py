@@ -60,9 +60,15 @@ class SpeechDataset:
         self.target_field = target_field
         self.global_stats = global_stats
         self.mtl_src = mtl_src
+        self._feat_dim = None
 
     def __len__(self):
         return len(self.rows)
+
+    def feat_dim(self) -> int:
+        if self._feat_dim is None:
+            self._feat_dim = read_feature(self.rows[0]["audio"]).shape[1]
+        return self._feat_dim
 
     def example(self, i: int):
         r = self.rows[i]
@@ -114,37 +120,66 @@ def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
         yield _collate(dataset, batch, cfg)
 
 
+def _load_feats(dataset: SpeechDataset, rows, feats, cfg: BatcherConfig):
+    """Fill feats[:len(rows)] + return per-example lengths.  Hot host path:
+    tries the threaded C++ loader (native/dataloader.cpp: zip-member npy
+    read + CMVN in one call per batch), falling back to per-example numpy."""
+    bsz = len(rows)
+    tb = feats.shape[1]
+    lengths = np.zeros((feats.shape[0],), np.int32)
+    mode = cfg.cmvn
+    if mode == "global" and dataset.global_stats is None:
+        mode = "none"
+    from simulst_tpu.data import native
+    got = native.load_feature_batch([r["audio"] for r in rows], feats[:bsz],
+                                    cmvn=mode,
+                                    global_stats=dataset.global_stats)
+    if got is not None:
+        lengths[:bsz] = np.minimum(got, tb)
+        return lengths
+    for j, r in enumerate(rows):
+        f = read_feature(r["audio"])
+        if mode == "utterance":
+            f = utterance_cmvn(f)
+        elif mode == "global":
+            f = global_cmvn(f, dataset.global_stats)
+        n = min(f.shape[0], tb)
+        feats[j, :n] = f[:n]
+        lengths[j] = n
+    return lengths
+
+
 def _collate(dataset: SpeechDataset, idxs, cfg: BatcherConfig):
-    examples = [dataset.example(i) for i in idxs]
-    feat_dim = examples[0][0].shape[1]
-    tb = _bucket(max(f.shape[0] for f, _, _, _ in examples), cfg.frame_buckets)
-    lb = _bucket(max(len(t) for _, t, _, _ in examples), cfg.token_buckets)
-    bsz = len(examples)
+    rows = [dataset.rows[i] for i in idxs]
+    targets = [np.asarray(dataset.vocab.encode(r[dataset.target_field]),
+                          np.int32) for r in rows]
+    srcs = ([np.asarray(dataset.vocab.encode(r["src_text"]), np.int32)
+             for r in rows] if dataset.mtl_src else None)
+    tb = _bucket(max(int(r["n_frames"]) for r in rows), cfg.frame_buckets)
+    lb = _bucket(max(len(t) for t in targets), cfg.token_buckets)
+    bsz = len(rows)
     b_pad = -(-bsz // cfg.batch_multiple) * cfg.batch_multiple
 
-    feats = np.zeros((b_pad, tb, feat_dim), np.float32)
-    feat_lengths = np.zeros((b_pad,), np.int32)
+    feats = np.zeros((b_pad, tb, dataset.feat_dim()), np.float32)
+    feat_lengths = _load_feats(dataset, rows, feats, cfg)
     target = np.full((b_pad, lb), PAD, np.int32)
     prev = np.full((b_pad, lb), PAD, np.int32)
     ids = []
-    for j, (f, t, uid, _) in enumerate(examples):
-        n = min(f.shape[0], tb)
-        feats[j, :n] = f[:n]
-        feat_lengths[j] = n
+    for j, (r, t) in enumerate(zip(rows, targets)):
         L = min(len(t), lb)
         tt = t[:L].copy()
         tt[-1] = EOS
         target[j, :L] = tt
         prev[j, :L] = np.asarray(move_eos_to_begin(list(tt)), np.int32)
-        ids.append(uid)
+        ids.append(r["id"])
     # padded (dummy) rows keep feat_lengths=0 / all-PAD targets: they
     # contribute zero to sum losses and sample_size.
     batch = {"feats": feats, "feat_lengths": feat_lengths, "target": target,
              "prev_tokens": prev, "ids": ids, "n_real": bsz}
     if dataset.mtl_src:
-        sb = _bucket(max(len(s) for _, _, _, s in examples), cfg.token_buckets)
+        sb = _bucket(max(len(s) for s in srcs), cfg.token_buckets)
         src_target = np.full((b_pad, sb), PAD, np.int32)
-        for j, (_, _, _, s) in enumerate(examples):
+        for j, s in enumerate(srcs):
             L = min(len(s), sb)
             ss = np.asarray(s[:L], np.int32)
             ss[-1] = EOS

@@ -86,3 +86,42 @@ def test_mtl_src_targets(tmp_path):
     # src_target/target are the encoded texts + eos (segmentation-agnostic)
     assert (batch["src_target"][0] != PAD).sum() == len(v.encode("a b c"))
     assert (batch["target"][0] != PAD).sum() == len(v.encode("x y"))
+
+
+def test_native_loader_matches_python_path(tmp_path):
+    """C++ batched zip loader (native/dataloader.cpp) == per-example numpy
+    path, for utterance/global/none CMVN."""
+    from simulst_tpu.data import native
+    from simulst_tpu.data.dataset import BatcherConfig, SpeechDataset, _collate
+    if not native.loader_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.RandomState(3)
+    feats = {f"u{i}": (rng.randn(20 + 9 * i, 8) * (1 + i)).astype(np.float32)
+             for i in range(4)}
+    zp = str(tmp_path / "f.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    rows = [{"id": k, "audio": specs[k], "n_frames": str(v.shape[0]),
+             "src_text": "a b", "tgt_text": "x", "speaker": "s"}
+            for k, v in feats.items()]
+    v = Vocabulary.build(["a b", "x"], vocab_size=16)
+    stats = {"mean": np.full((8,), 0.5, np.float32),
+             "std": np.full((8,), 2.0, np.float32)}
+
+    for cmvn in ("utterance", "global", "none"):
+        cfg = BatcherConfig(max_tokens=10000, shuffle=False, batch_multiple=1,
+                            frame_buckets=(64,), token_buckets=(8,), cmvn=cmvn)
+        ds = SpeechDataset(rows, v, cfg, "tgt_text", global_stats=stats)
+        nat = _collate(ds, list(range(4)), cfg)
+        # force the python fallback by monkeying the native loader off
+        import simulst_tpu.data.native as nmod
+        orig = nmod.load_feature_batch
+        nmod.load_feature_batch = lambda *a, **k: None
+        try:
+            py = _collate(ds, list(range(4)), cfg)
+        finally:
+            nmod.load_feature_batch = orig
+        np.testing.assert_array_equal(nat["feat_lengths"], py["feat_lengths"])
+        np.testing.assert_allclose(nat["feats"], py["feats"], atol=1e-5,
+                                   rtol=1e-5, err_msg=cmvn)
