@@ -131,7 +131,9 @@ def bench_fused_chunk(kind, dtype, batch=1):
 
 
 def bench_train_step(dtype_name="bfloat16"):
-    """Jitted fwd+bwd at the 32x1024 geometry."""
+    """Jitted fwd+bwd at the 32x1024 geometry (rbg dropout keys, the train
+    CLI default)."""
+    jax.config.update("jax_default_prng_impl", "rbg")
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
 

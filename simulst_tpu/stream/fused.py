@@ -42,6 +42,8 @@ def _where_b(mask, new, old):
 def _append_rows(buf, buf_len, new, n_new):
     """Masked per-example append: write new[i, :n_new[i]] at buf[i, buf_len[i]:].
     buf: (B, Tmax, D); new: (B, c, D); returns (buf', buf_len')."""
+    if new.shape[1] == 0:
+        return buf, buf_len
     tmax = buf.shape[1]
     pos = jnp.arange(tmax)[None, :]
     new_idx = pos - buf_len[:, None]                 # slot within `new`
