@@ -80,7 +80,7 @@ def main(argv=None):
                          fused=args.fused)
     elif args.agent == "transducer":
         agent = TransducerAgent(model, restored, vocab, acfg,
-                                global_cmvn=gcmvn)
+                                global_cmvn=gcmvn, fused=args.fused)
     else:
         agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta,
                          global_cmvn=gcmvn, fused=args.fused)
@@ -109,8 +109,7 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
     log = os.path.join(args.output, "instances.log")
     if args.batch_size > 1:
-        assert args.fused and args.agent != "transducer", \
-            "--batch-size > 1 requires --fused (cif/mma/waitk)"
+        assert args.fused, "--batch-size > 1 requires --fused"
         scores = evaluate_batched(agent, utts, refs,
                                   batch_size=args.batch_size, log_path=log)
     else:

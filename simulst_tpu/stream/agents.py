@@ -416,10 +416,29 @@ class TransducerSession(StreamingSession):
 class TransducerAgent(SpeechAgent):
     session_cls = TransducerSession
 
-    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None):
+    def __init__(self, model, params, vocab, acfg=None, global_cmvn=None,
+                 fused: bool = False):
         assert model.cfg.downsample <= 1, \
             "streaming transducer agent requires downsample == 1"
         super().__init__(model, params, vocab, acfg, global_cmvn)
+        self.fused = fused
+        if fused:
+            from simulst_tpu.stream.fused import (make_transducer_fused_step,
+                                                  transducer_fused_init)
+            self._fused_step = make_transducer_fused_step(model, params)
+            self._fused_init = lambda batch=1: transducer_fused_init(
+                model, params, self.acfg.max_src_frames,
+                self.acfg.max_tgt_len, batch=batch)
         self.dec_step = jax.jit(
             lambda st, tok, buf, n, online: model.decode_step(
                 self.params, st, tok, buf, n, online))
+
+    def new_session(self):
+        if self.fused:
+            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+        return super().new_session()
+
+    def new_batched_session(self, batch: int) -> FusedBatchSession:
+        assert self.fused, "batched streaming requires fused=True"
+        return FusedBatchSession(self, self._fused_init(batch),
+                                 self._fused_step, batch)

@@ -264,3 +264,108 @@ def make_mma_fused_step(params, cfg: mma_mod.MMAConfig,
         return new_state, n_new
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Transducer
+# ---------------------------------------------------------------------------
+
+class TransducerFusedState(NamedTuple):
+    enc: s2t.EncoderStreamState
+    dec: "object"                        # models.transducer.TransducerState
+    enc_buf: jnp.ndarray                 # (B, Smax, D)
+    src_len: jnp.ndarray                 # (B,) int32
+    tokens: jnp.ndarray                  # (B, Tmax)
+    n_tokens: jnp.ndarray                # (B,)
+    finished: jnp.ndarray                # (B,) bool
+
+
+def transducer_fused_init(model, params, max_src: int, max_tokens: int,
+                          batch: int = 1, dtype=jnp.float32
+                          ) -> TransducerFusedState:
+    cfg = model.cfg
+    return TransducerFusedState(
+        enc=s2t.encoder_init_state(params["encoder"], cfg, batch, dtype),
+        dec=model.init_decode_state(batch, max_tokens, dtype),
+        enc_buf=jnp.zeros((batch, max_src, cfg.embed_dim), dtype),
+        src_len=jnp.zeros((batch,), jnp.int32),
+        tokens=jnp.full((batch, max_tokens), cfg.padding_idx, jnp.int32),
+        n_tokens=jnp.zeros((batch,), jnp.int32),
+        finished=jnp.zeros((batch,), bool))
+
+
+def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
+    """Returns step(state, feats, finish, n_valid=None) -> (state, n_new).
+
+    Greedy transducer emit loop on device: decode_step scans the visible
+    source for the first non-blank frame; emitted=False is the READ signal
+    (that example's attempt is simply not adopted)."""
+    cfg = model.cfg
+
+    @functools.partial(jax.jit, static_argnames=("carry_len", "finish",
+                                                 "has_feats", "has_valid"))
+    def _step(state: TransducerFusedState, feats, n_valid, carry_len: int,
+              finish: bool, has_feats: bool, has_valid: bool):
+        enc_in = state.enc._replace(carry_len=carry_len)
+        enc_out, enc_state = s2t.encoder_step(
+            params["encoder"], cfg, enc_in, feats if has_feats else None,
+            finish, feat_valid=n_valid if has_valid else None)
+        enc_buf, src_len = _append_rows(state.enc_buf, state.src_len,
+                                        enc_out.encoder_out, enc_out.lengths)
+        b, tmax = state.tokens.shape
+        online = jnp.asarray(not finish)
+        pos = jnp.arange(tmax)[None, :]
+
+        def cond(c):
+            dec, tokens, n_tok, finished, stopped, writes = c
+            can = (~finished) & (~stopped) & (n_tok < tmax - 1)
+            return can.any() & (writes < max_writes_per_chunk)
+
+        def body(c):
+            dec, tokens, n_tok, finished, stopped, writes = c
+            prev = jnp.where(n_tok > 0,
+                             jnp.take_along_axis(
+                                 tokens, jnp.maximum(n_tok - 1, 0)[:, None],
+                                 axis=1)[:, 0],
+                             jnp.full((b,), cfg.blank_idx, jnp.int32))
+            logits, emitted, new_dec = model.decode_step(
+                params, dec, prev, enc_buf, src_len, online)
+            tok = logits.argmax(-1).astype(jnp.int32)
+            is_eos = tok == cfg.eos_idx
+            attempted = (~finished) & (~stopped) & (n_tok < tmax - 1)
+            read = attempted & ~emitted
+            reject = attempted & emitted & is_eos & (not finish)
+            write = attempted & emitted & ~(is_eos & (not finish))
+            dec = _where_b(write, new_dec, dec)   # READ/reject: discard attempt
+            tokens = jnp.where((pos == n_tok[:, None]) & write[:, None],
+                               tok[:, None], tokens)
+            n_tok = n_tok + write.astype(jnp.int32)
+            finished = finished | (write & is_eos)
+            stopped = stopped | read | reject | (write & is_eos)
+            return dec, tokens, n_tok, finished, stopped, writes + 1
+
+        init = (state.dec, state.tokens, state.n_tokens, state.finished,
+                jnp.zeros((b,), bool), jnp.zeros((), jnp.int32))
+        dec, tokens, n_tok, finished, _, _ = jax.lax.while_loop(
+            cond, body, init)
+        new_state = TransducerFusedState(enc=enc_state, dec=dec,
+                                         enc_buf=enc_buf, src_len=src_len,
+                                         tokens=tokens, n_tokens=n_tok,
+                                         finished=finished)
+        return new_state, n_tok - state.n_tokens
+
+    def step(state: TransducerFusedState, feats, finish: bool = False,
+             n_valid: Optional[jnp.ndarray] = None
+             ) -> Tuple[TransducerFusedState, jnp.ndarray]:
+        carry_len = state.enc.carry_len
+        has_feats = feats is not None and feats.shape[1] > 0
+        new_state, n_new = _step(state, feats if has_feats else None,
+                                 n_valid, carry_len, finish, has_feats,
+                                 n_valid is not None)
+        n_feats = feats.shape[1] if has_feats else 0
+        new_carry = s2t._carry_plan(cfg, carry_len, n_feats, finish)
+        new_state = new_state._replace(
+            enc=new_state.enc._replace(carry_len=new_carry))
+        return new_state, n_new
+
+    return step

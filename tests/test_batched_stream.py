@@ -90,3 +90,24 @@ def test_mma_batched_matches_sequential(audios, tmp_path):
     for i, ((ws, ds), (wb, db)) in enumerate(zip(seq, bat)):
         assert ws == wb, f"utt {i}: {ws} != {wb}"
         np.testing.assert_allclose(ds, db, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_transducer_fused_and_batched_match_stepwise(audios, tmp_path):
+    from simulst_tpu.models.transducer import TransducerConfig, TransducerModel
+    from simulst_tpu.stream.agents import TransducerAgent
+    v = _vocab()
+    cfg = TransducerConfig(**small_kwargs(v), ctc_layer=False)
+    model = TransducerModel(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    step = TransducerAgent(model, params, v, acfg)
+    fused = TransducerAgent(model, params, v, acfg, fused=True)
+    seq = _sequential(step, audios)
+    seq_f = _sequential(fused, audios)
+    for i, ((ws, ds), (wf, df)) in enumerate(zip(seq, seq_f)):
+        assert ws == wf, f"utt {i}: {ws} != {wf}"
+        np.testing.assert_allclose(ds, df, atol=1e-6, err_msg=f"utt {i}")
+    bat = _batched(fused, audios, tmp_path, batch_size=3)
+    for i, ((ws, ds), (wb, db)) in enumerate(zip(seq, bat)):
+        assert ws == wb, f"utt {i}: {ws} != {wb}"
+        np.testing.assert_allclose(ds, db, atol=1e-6, err_msg=f"utt {i}")
