@@ -11,8 +11,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dir", required=True)
     p.add_argument("--n", type=int, default=5)
-    p.add_argument("--maximize", action="store_true",
-                   help="higher metric is better (bleu)")
+    p.add_argument("--maximize", action="store_true", default=None,
+                   help="higher metric is better (default: inferred from "
+                        "the checkpoint metric name; bleu maximizes)")
+    p.add_argument("--minimize", dest="maximize", action="store_false",
+                   help="force lower-is-better selection")
     p.add_argument("--output", required=True)
     args = p.parse_args(argv)
 

@@ -34,9 +34,11 @@ def main(argv=None):
     header = ["system"] + COLUMNS
     lines = ["\t".join(header)]
     for name, scores in sorted(rows, key=lambda r: r[1].get("AL", 0.0)):
+        # identify the cell by its last two path components (model/split)
+        parts = name.rstrip("/").split(os.sep)
+        label = "/".join(parts[-2:]) if len(parts) >= 2 else parts[-1]
         lines.append("\t".join(
-            [os.path.basename(name.rstrip("/"))] +
-            [f"{scores.get(c, 0.0):.2f}" for c in COLUMNS]))
+            [label] + [f"{scores.get(c, 0.0):.2f}" for c in COLUMNS]))
     out = "\n".join(lines)
     print(out)
     if args.tsv:

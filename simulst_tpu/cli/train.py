@@ -287,7 +287,9 @@ def main(argv=None):
                       valid_fn=build_valid_fn(
                           args, model, vocab, valid_ds,
                           lambda: make_ds_batches(valid_ds), loss_fn),
-                      freeze_until=freeze, update_freq=args.update_freq)
+                      freeze_until=freeze, update_freq=args.update_freq,
+                      metadata={"model": args.model,
+                                "config": cfglib.to_dict(mcfg)})
     if args.resume:
         start = trainer.resume(args.resume)
         print(f"resumed from {args.resume} at update {start}")

@@ -63,16 +63,21 @@ def load_checkpoint(path: str, template=None):
 BEST_RE = re.compile(r"checkpoint\.best_(?P<metric>[^_]+)_(?P<value>[0-9.]+?)(\.pt)?$")
 
 
-def find_best_checkpoints(directory: str, n: int = 5, maximize: bool = False
-                          ) -> List[str]:
+def find_best_checkpoints(directory: str, n: int = 5,
+                          maximize: Optional[bool] = None) -> List[str]:
     """Select best-N by the metric encoded in the filename
     (reference average_checkpoints.py:76-99 pattern
-    `checkpoint.best_<metric>_<value>`)."""
+    `checkpoint.best_<metric>_<value>`).  maximize=None infers the direction
+    from the metric name (bleu maximizes; loss/wer/latency minimize)."""
     cands = []
+    metric = None
     for f in os.listdir(directory):
         m = BEST_RE.match(f)
         if m:
             cands.append((float(m.group("value")), os.path.join(directory, f)))
+            metric = m.group("metric")
+    if maximize is None:
+        maximize = bool(metric and "bleu" in metric)
     cands.sort(key=lambda x: -x[0] if maximize else x[0])
     return [p for _, p in cands[:n]]
 

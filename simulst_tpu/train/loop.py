@@ -80,11 +80,15 @@ class Trainer:
                  loop_cfg: LoopConfig, params,
                  valid_fn: Optional[Callable] = None,
                  freeze_until: Optional[Dict[str, int]] = None,
-                 update_freq: int = 1):
+                 update_freq: int = 1,
+                 metadata: Optional[Dict] = None):
         """loss_fn(params, batch, rng) -> (loss, metrics);
-        valid_fn(params) -> dict of metrics (must include loop best_metric)."""
+        valid_fn(params) -> dict of metrics (must include loop best_metric).
+        metadata (e.g. model name + config) is stamped into EVERY checkpoint
+        so best/averaged checkpoints reconstruct the right model."""
         self.loop_cfg = loop_cfg
         self.update_freq = update_freq
+        self.metadata = dict(metadata or {})
         self.state = create_train_state(params, optim_cfg)
         if update_freq > 1:
             from simulst_tpu.train.state import make_accum_train_step
@@ -120,8 +124,9 @@ class Trainer:
         better = (self.best is None or
                   (value > self.best if cfg.maximize_metric else value < self.best))
         name = f"checkpoint.best_{cfg.best_metric}_{value:.4f}"
-        save_checkpoint(os.path.join(cfg.save_dir, name),
-                        self.state.params, metadata={"step": int(self.state.step)})
+        save_checkpoint(os.path.join(cfg.save_dir, name), self.state.params,
+                        metadata={**self.metadata,
+                                  "step": int(self.state.step)})
         if better:
             self.best = value
             self.bad_epochs = 0
@@ -219,7 +224,8 @@ class Trainer:
         save_checkpoint(os.path.join(self.loop_cfg.save_dir, "checkpoint_resume"),
                         {"params": self.state.params,
                          "opt_state": self.state.opt_state,
-                         "step": self.state.step})
+                         "step": self.state.step},
+                        metadata=self.metadata)
 
     def resume(self, path: str):
         from simulst_tpu.train.checkpoint import load_checkpoint
