@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from simulst_tpu.data.vocab import SPECIALS, Vocabulary
 from simulst_tpu.models.cif import CIFConfig, CIFModel
@@ -111,3 +112,56 @@ def test_transducer_fused_and_batched_match_stepwise(audios, tmp_path):
     for i, ((ws, ds), (wb, db)) in enumerate(zip(seq, bat)):
         assert ws == wb, f"utt {i}: {ws} != {wb}"
         np.testing.assert_allclose(ds, db, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_batched_streaming_shards_over_device_mesh(audios):
+    """Multi-chip streaming SERVING: the batched fused step runs with the
+    batch dimension sharded over a (virtual 8-device) data mesh — GSPMD
+    partitions the whole READ+WRITE while_loop — and produces exactly the
+    single-device results.  (The reference's only parallelism is training
+    DDP; sharded batched serving has no counterpart there.)"""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from simulst_tpu.stream.fused import cif_fused_init, make_cif_fused_step
+    from simulst_tpu.ops.fbank import OnlineFbank
+
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    step = make_cif_fused_step(params, cfg)
+    B = 8
+    state = cif_fused_init(params, cfg, max_tokens=24, batch=B)
+
+    # two chunks of per-example fbank features (same audio replicated with
+    # different scales so examples diverge)
+    wav = audios[3]
+    n0 = int(255 / 1000 * 16000)
+    n1 = int(160 / 1000 * 16000)
+    fb = [OnlineFbank() for _ in range(B)]
+    import numpy as _np
+    chunk0 = _np.stack([fb[i](wav[:n0] * (0.5 + 0.2 * i)) for i in range(B)])
+    chunk1 = _np.stack([fb[i](wav[n0:n0 + n1] * (0.5 + 0.2 * i))
+                        for i in range(B)])
+
+    ref_state, _ = step(state, jnp.asarray(chunk0))
+    ref_state, _ = step(ref_state, jnp.asarray(chunk1))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    def put(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, shard)
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B else x,
+            tree)
+
+    s_state = put(cif_fused_init(params, cfg, max_tokens=24, batch=B))
+    s_state, _ = step(s_state, put(jnp.asarray(chunk0)))
+    s_state, _ = step(s_state, put(jnp.asarray(chunk1)))
+
+    np.testing.assert_array_equal(np.asarray(s_state.tokens),
+                                  np.asarray(ref_state.tokens))
+    np.testing.assert_array_equal(np.asarray(s_state.n_tokens),
+                                  np.asarray(ref_state.n_tokens))
+    np.testing.assert_array_equal(np.asarray(s_state.cif_len),
+                                  np.asarray(ref_state.cif_len))
