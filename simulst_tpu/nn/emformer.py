@@ -553,3 +553,188 @@ def emformer_step(params, cfg: EmformerConfig, state: EmformerState, x,
     new_state = EmformerState(layers=tuple(new_layers),
                               past_length=state.past_length + utt_valid)
     return out, utt_valid, new_state
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel training forward (shard_map over a "seq" mesh axis)
+#
+# The reference has NO sequence/context parallelism (SURVEY.md §2.6, §5.7 —
+# long audio is handled only algorithmically).  Here the block-processing
+# structure makes true sequence parallelism natural: shard the SEGMENTS over
+# mesh devices; per layer each shard only needs small halos from its left
+# neighbor (lc LayerNormed frames + M memory summaries) and, once at input,
+# rc lookahead frames from its right neighbor — three lax.ppermute exchanges
+# riding ICI, everything else local.  Math identical to emformer_forward.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _segment_gather_indices_local(n_loc: int, seg: int, lc: int, rc: int,
+                                  max_mem: int):
+    """Static gather indices for one shard's segments into the local key
+    tensor [mems_ext(M+n_loc) | rc(n_loc*rc) | utt_ext(lc + n_loc*seg)].
+
+    Returns (idx (n_loc, ctx), kind (n_loc, ctx) 0=mem/1=rc/2=utt,
+    gpos (n_loc, ctx)): gpos is the SHARD-RELATIVE global position —
+    mem slots: segment index - o_seg offset applies; utt slots: frame index
+    - o_frames offset applies.  Dynamic validity is computed in-kernel from
+    the shard's axis index.
+    """
+    M = max_mem
+    ctx = M + rc + lc + seg
+    idx = np.zeros((n_loc, ctx), np.int32)
+    kind = np.zeros((n_loc, ctx), np.int32)
+    gpos = np.zeros((n_loc, ctx), np.int32)
+    rc_base = M + n_loc
+    utt_base = rc_base + n_loc * rc
+    for i in range(n_loc):
+        col = 0
+        for jj in range(M):
+            # mems_ext[t] holds the summary of global segment o_seg - M + t;
+            # slot jj of segment i wants global segment i_g - M + jj
+            idx[i, col] = i + jj
+            kind[i, col] = 0
+            gpos[i, col] = i - M + jj            # + o_seg >= 0 => valid
+            col += 1
+        for j in range(rc):
+            idx[i, col] = rc_base + i * rc + j
+            kind[i, col] = 1
+            col += 1
+        for j in range(lc + seg):
+            # utt_ext[t] holds frame o_frames - lc + t
+            idx[i, col] = utt_base + i * seg + j
+            kind[i, col] = 2
+            gpos[i, col] = i * seg - lc + j      # + o_frames in [0, len)
+            col += 1
+    return idx, kind, gpos
+
+
+def _shift_from_left(x, axis_name: str, n_dev: int):
+    """Each shard receives its LEFT neighbor's buffer (shard 0 gets zeros)."""
+    perm = [(i, i + 1) for i in range(n_dev - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _shift_from_right(x, axis_name: str, n_dev: int):
+    perm = [(i + 1, i) for i in range(n_dev - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
+                                 mesh, seq_axis: str = "seq"):
+    """Sequence-parallel training/offline forward (deterministic).
+
+    x: (B, U + right_context, D) — like emformer_forward; U must be a
+    multiple of n_devices * segment, and U / n_devices / segment must be
+    >= max_memory.  Output matches emformer_forward's utterance encoding.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    S = mesh.shape[seq_axis]
+    seg, lc, rc, M = cfg.segment, cfg.left_context, cfg.right_context, cfg.max_memory
+    U = x.shape[1] - rc
+    assert U % (S * seg) == 0, (U, S, seg)
+    n_loc = U // S // seg
+    assert n_loc >= M, "need >= max_memory segments per shard"
+    assert cfg.use_mem, "seq-sharded path assumes the memory bank is on"
+    utterance, tail_rc = x[:, :U], x[:, U:]
+
+    idx_np, kind_np, gpos_np = _segment_gather_indices_local(n_loc, seg, lc,
+                                                             rc, M)
+    u_loc = n_loc * seg
+    rc_len = n_loc * rc
+    h = cfg.num_heads
+    d = cfg.input_dim
+    hd = d // h
+
+    def body(x_loc, tail, lens):
+        ax = jax.lax.axis_index(seq_axis)
+        o_frames = ax * u_loc
+        o_seg = ax * n_loc
+        b = x_loc.shape[0]
+
+        # input-time right halo for the rc blocks (last shard uses the tail)
+        halo_r = _shift_from_right(x_loc[:, :rc], seq_axis, S)
+        halo_r = jnp.where((ax == S - 1), tail, halo_r)
+        ext0 = jnp.concatenate([x_loc, halo_r], axis=1)
+        rc_rows = np.concatenate(
+            [np.arange((i + 1) * seg, (i + 1) * seg + rc)
+             for i in range(n_loc)]).astype(np.int32)
+        rc_blocks = jnp.take(ext0, jnp.asarray(rc_rows), axis=1)
+
+        mems_loc = _segment_means(x_loc, seg)                 # (B, n_loc, D)
+        out = x_loc
+
+        idx = jnp.asarray(idx_np)
+        kind = jnp.asarray(kind_np)
+        gpos = jnp.asarray(gpos_np)
+        mem_ok = (kind == 0)[None] & (o_seg + gpos[None] >= 0)
+        rc_ok = (kind == 1)[None]
+        utt_g = o_frames + gpos[None]                          # (1, n_loc, ctx)
+        utt_ok = (kind == 2)[None] & (utt_g >= 0) \
+            & (utt_g < lens[:, None, None])
+        key_valid = mem_ok | rc_ok | utt_ok                    # (B, n_loc, ctx)
+
+        for p in params["layers"]:
+            raw = jnp.concatenate([rc_blocks, out], axis=1)
+            ln = layer_norm(p["ln_input"], raw) if cfg.normalize_before else raw
+            rc_ln, utt_ln = ln[:, :rc_len], ln[:, rc_len:]
+            summary = _segment_means(utt_ln, seg)              # (B, n_loc, D)
+
+            # per-layer halos from the left neighbor (ICI ppermute)
+            halo_utt = _shift_from_left(utt_ln[:, -lc:], seq_axis, S)
+            halo_mem = _shift_from_left(mems_loc[:, -M:], seq_axis, S)
+
+            mems_ext = jnp.concatenate([halo_mem, mems_loc], axis=1)
+            utt_ext = jnp.concatenate([halo_utt, utt_ln], axis=1)
+
+            ap = p["attention"]
+            kv = linear(ap["emb_to_key_value"],
+                        jnp.concatenate([mems_ext, rc_ln, utt_ext], axis=1))
+            k, v = jnp.split(kv, 2, axis=-1)
+            ctx = idx.shape[1]
+            k_ctx = jnp.take(k, idx.reshape(-1), axis=1).reshape(b, n_loc, ctx, d)
+            v_ctx = jnp.take(v, idx.reshape(-1), axis=1).reshape(b, n_loc, ctx, d)
+
+            utt_q = utt_ln.reshape(b, n_loc, seg, d)
+            rc_q = rc_ln.reshape(b, n_loc, rc, d)
+            q_in = jnp.concatenate([rc_q, utt_q, summary[:, :, None]], axis=2)
+            nq = q_in.shape[2]
+            q = linear(ap["emb_to_query"], q_in)
+
+            qh = q.reshape(b, n_loc, nq, h, hd).transpose(0, 1, 3, 2, 4) * (hd ** -0.5)
+            kh = k_ctx.reshape(b, n_loc, ctx, h, hd).transpose(0, 1, 3, 2, 4)
+            vh = v_ctx.reshape(b, n_loc, ctx, h, hd).transpose(0, 1, 3, 2, 4)
+            scores = jnp.einsum("bnhqd,bnhkd->bnhqk", qh, kh).astype(jnp.float32)
+            ni = neg_inf(q.dtype)
+            scores = jnp.where(key_valid[:, :, None, None, :], scores, ni)
+            # summary rows must not attend the memory slots
+            block = (jnp.arange(nq) == nq - 1)[:, None] & (jnp.arange(ctx) < M)[None, :]
+            scores = jnp.where(block[None, None, None], ni, scores)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            o = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
+            o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_loc, nq, d)
+            o = linear(ap["out_proj"], o)
+
+            rc_out = o[:, :, :rc].reshape(b, rc_len, d)
+            utt_out = o[:, :, rc:rc + seg].reshape(b, u_loc, d)
+            summary_out = o[:, :, rc + seg:].reshape(b, n_loc, d)
+            mems_loc = _mem_transform(summary_out, cfg)
+
+            result = jnp.concatenate([rc_out, utt_out], axis=1) + raw
+            result = _pos_ff(p["pos_ff"], cfg, result, None, None, True) + result
+            if not cfg.normalize_before:
+                result = layer_norm(p["ln_input"], result)
+            out, rc_blocks = result[:, rc_len:], result[:, :rc_len]
+
+        if cfg.normalize_before:
+            out = layer_norm(params["final_ln"], out)
+        return out
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(None, seq_axis, None), P(), P()),
+                  out_specs=P(None, seq_axis, None), check_vma=False)
+    return f(utterance, tail_rc, lengths)
