@@ -58,3 +58,34 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_grouped_attention_equals_per_segment():
+    """segment_group > 1 (union-context blocks with static row masks) must
+    equal per-segment attention exactly, incl. padded lengths."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from simulst_tpu.nn.emformer import (EmformerConfig, emformer_forward,
+                                         emformer_init)
+
+    base = EmformerConfig(input_dim=32, num_heads=2, ffn_dim=48, num_layers=2,
+                          dropout=0.0, attention_dropout=0.0,
+                          activation_dropout=0.0, left_context=6,
+                          right_context=2, segment=4, max_memory=2,
+                          tanh_on_mem=True, segment_group=1)
+    params = emformer_init(jax.random.PRNGKey(0), base)
+    U = 16 * base.segment        # divisible by groups 2/4/8
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, U + base.right_context, 32).astype(np.float32)
+    lengths = np.array([U, U - 9], np.int32)
+    x[1, U - 9:U] = 0.0
+    want, _ = emformer_forward(params, base, jnp.asarray(x),
+                               jnp.asarray(lengths))
+    for G in (2, 4, 8):
+        cfg = dataclasses.replace(base, segment_group=G)
+        got, _ = emformer_forward(params, cfg, jnp.asarray(x),
+                                  jnp.asarray(lengths))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"G={G}")
