@@ -35,6 +35,11 @@ import numpy as np
 
 from simulst_tpu.nn.core import (ACTIVATIONS, dropout, layer_norm,
                                  layer_norm_init, linear, linear_init, neg_inf)
+from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom,
+                                                  attn_pallas_supported,
+                                                  emformer_grouped_attention)
+from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
+                                        seed_from_rng)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,8 +140,21 @@ def _mem_transform(x, cfg: EmformerConfig):
 
 
 def _pos_ff(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
-    act = ACTIVATIONS[cfg.activation]
     y = layer_norm(p["ln"], x)
+    w1 = p["fc1"]["weight"]
+    if cfg.activation in ("gelu", "relu") and \
+            ffn_pallas_supported(y, w1.shape[0], w1.shape[1]):
+        act_rate = 0.0 if deterministic or rng_a is None \
+            else cfg.activation_dropout
+        out_rate = 0.0 if deterministic or rng_b is None else cfg.dropout
+        seed = (seed_from_rng(rng_a) if act_rate or out_rate
+                else jnp.zeros((1,), jnp.int32))
+        d = y.dtype
+        return fused_ffn(y, w1.astype(d), p["fc1"]["bias"].astype(d),
+                         p["fc2"]["weight"].astype(d),
+                         p["fc2"]["bias"].astype(d), seed,
+                         cfg.activation, act_rate, out_rate)
+    act = ACTIVATIONS[cfg.activation]
     y = act(linear(p["fc1"], y))
     y = dropout(rng_a, y, cfg.activation_dropout, deterministic)
     y = linear(p["fc2"], y)
@@ -329,6 +347,28 @@ def _grouped_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
                 jnp.concatenate([mems, rc_ln, utt_ln], axis=1))
     k, v = jnp.split(kv, 2, axis=-1)
 
+    rc_q = rc_ln.reshape(b, ng, G * rc, d)
+    utt_q = utt_ln.reshape(b, ng, G * seg, d)
+    sum_q = summary.reshape(b, ng, G, d)
+    q_in = jnp.concatenate([rc_q, utt_q, sum_q], axis=2)
+    nq = q_in.shape[2]
+    q = linear(ap["emb_to_query"], q_in)
+
+    geom = AttnGeom(U=U, seg=seg, lc=lc, rc=rc, max_mem=cfg.max_memory,
+                    G=G, num_heads=h)
+    if attn_pallas_supported(geom):
+        rng = next(rngs)
+        rate = 0.0 if deterministic or rng is None else cfg.attention_dropout
+        seed = (seed_from_rng(rng) if rate > 0.0
+                else jnp.zeros((1,), jnp.int32))
+        out = emformer_grouped_attention(q, k, v, lengths.astype(jnp.int32),
+                                         seed, geom, rate)
+        out = linear(ap["out_proj"], out)
+        rc_out = out[:, :, :G * rc].reshape(b, n * rc, d)
+        utt_out = out[:, :, G * rc:G * (rc + seg)].reshape(b, U, d)
+        summary_out = out[:, :, G * (rc + seg):].reshape(b, n, d)
+        return jnp.concatenate([rc_out, utt_out], axis=1), summary_out
+
     idx_np, valid_np, utt_col_np, allowed_np = _group_gather_indices(
         U, seg, lc, rc, cfg.max_memory, G)
     idx = jnp.asarray(idx_np)
@@ -340,13 +380,6 @@ def _grouped_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
     utt_col = jnp.asarray(utt_col_np)
     in_len = (utt_col[None] < lengths[:, None, None]) | (utt_col[None] < 0)
     key_valid = valid & in_len                                 # (B, ng, ctx)
-
-    rc_q = rc_ln.reshape(b, ng, G * rc, d)
-    utt_q = utt_ln.reshape(b, ng, G * seg, d)
-    sum_q = summary.reshape(b, ng, G, d)
-    q_in = jnp.concatenate([rc_q, utt_q, sum_q], axis=2)
-    nq = q_in.shape[2]
-    q = linear(ap["emb_to_query"], q_in)
 
     qh = q.reshape(b, ng, nq, h, hd).transpose(0, 1, 3, 2, 4) * (hd ** -0.5)
     kh = k_ctx.reshape(b, ng, ctx, h, hd).transpose(0, 1, 3, 2, 4)

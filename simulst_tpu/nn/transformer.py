@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from simulst_tpu.nn import attention as attn
 from simulst_tpu.nn.core import (ACTIVATIONS, dropout, embedding, embedding_init,
                                  layer_norm, layer_norm_init, linear, linear_init)
+from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
+                                        seed_from_rng)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,14 +89,29 @@ def decoder_layer_init(key, cfg: DecoderConfig, dtype=jnp.float32):
 
 
 def _ffn(p, cfg: DecoderConfig, x, rngs, deterministic):
-    act = ACTIVATIONS[cfg.activation]
     residual = x
     if cfg.normalize_before:
         x = layer_norm(p["final_ln"], x)
-    x = act(linear(p["fc1"], x))
-    x = dropout(_next(rngs), x, cfg.activation_dropout, deterministic)
-    x = linear(p["fc2"], x)
-    x = dropout(_next(rngs), x, cfg.dropout, deterministic)
+    w1 = p["fc1"]["weight"]
+    if cfg.activation in ("gelu", "relu") and \
+            ffn_pallas_supported(x, w1.shape[0], w1.shape[1]):
+        rng_a, rng_b = _next(rngs), _next(rngs)
+        act_rate = 0.0 if deterministic or rng_a is None \
+            else cfg.activation_dropout
+        out_rate = 0.0 if deterministic or rng_b is None else cfg.dropout
+        seed = (seed_from_rng(rng_a) if act_rate or out_rate
+                else jnp.zeros((1,), jnp.int32))
+        d = x.dtype
+        x = fused_ffn(x, w1.astype(d), p["fc1"]["bias"].astype(d),
+                      p["fc2"]["weight"].astype(d),
+                      p["fc2"]["bias"].astype(d), seed,
+                      cfg.activation, act_rate, out_rate)
+    else:
+        act = ACTIVATIONS[cfg.activation]
+        x = act(linear(p["fc1"], x))
+        x = dropout(_next(rngs), x, cfg.activation_dropout, deterministic)
+        x = linear(p["fc2"], x)
+        x = dropout(_next(rngs), x, cfg.dropout, deterministic)
     x = x + residual
     if not cfg.normalize_before:
         x = layer_norm(p["final_ln"], x)
