@@ -39,55 +39,61 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
-# Polynomial GELU (Pallas TPU lowers no erf, and exp on the VPU dominated
-# the kernel: the fp32 transcendentals over (rows, ffn_dim) cost more than
-# the MXU matmuls).  Both Phi(u)-0.5 = 0.5*erf(u/sqrt2) and dgelu(u)-0.5 are
-# ODD, so each is u * f(u^2) with f fit as a degree-14 Chebyshev series on
-# t = u^2 in [0, 36], clamped outside |u| <= 6.  Clenshaw evaluation keeps
-# every intermediate O(1), so fp32 is stable (a power-basis Horner here loses
-# ~3 digits to cancellation); max abs error 1.4e-6 (value) / 2.6e-5
-# (derivative) vs the exact erf forms — far below bf16 resolution.
-_GELU_S_CHEB = np.array([
-    1.651448541e-01, -1.210967175e-01, 5.888506841e-02, -2.912463939e-02,
-    1.393178475e-02, -6.329625344e-03, 2.710423193e-03, -1.090487169e-03,
-    4.119348656e-04, -1.461511550e-04, 4.878717349e-05, -1.531140891e-05,
-    4.548392359e-06, -1.234792207e-06, 3.299653796e-07], np.float32)
-_GELU_D_CHEB = np.array([
-    2.189858552e-01, -2.226070999e-01, 1.440091031e-01, -9.280205637e-02,
-    5.660388804e-02, -3.207615790e-02, 1.677471497e-02, -8.084431168e-03,
-    3.595936395e-03, -1.479357574e-03, 5.652177032e-04, -2.004765789e-04,
-    6.671801038e-05, -1.997076018e-05, 5.886208132e-06], np.float32)
+# Rational GELU (Pallas TPU lowers no erf, and transcendentals on the VPU
+# dominated the kernel: decomposition showed the activation costing ~10x the
+# MXU matmuls).  Both Phi(u)-0.5 = 0.5*erf(u/sqrt2) and dgelu(u)-0.5 are ODD,
+# so each is u * P(t)/Q(t) with t = u^2 — Pade-style least-squares fits on
+# [0, 36] (clamped outside |u| <= 6): ~9 fp32 madds + one divide per element,
+# a third of the degree-14 Chebyshev this replaces.  Max abs error 4.4e-6
+# (value, [4/4]) / 2.1e-5 (derivative, [5/4]) vs the exact erf forms — far
+# below bf16 resolution.
+_GELU_S_P = np.array([3.9894491553246050e-01, 2.4032863937724896e-02,
+                      3.7442321778811550e-03, 1.8281496059309624e-06,
+                      -4.0716852230298200e-07], np.float32)
+_GELU_S_Q = np.array([1.0, 2.2695272440629527e-01, 2.2140010536465117e-02,
+                      1.0449517504577536e-03, -1.2145462460870075e-05],
+                     np.float32)
+_GELU_D_P = np.array([7.9787706438195140e-01, -6.0269335806710980e-03,
+                      1.1940259075874315e-02, 5.2702452082125740e-04,
+                      1.7420884456537752e-05, -7.6470704717891520e-08],
+                     np.float32)
+_GELU_D_Q = np.array([1.0, 3.2568378296953454e-01, 4.8754040869295180e-02,
+                      4.1628965756857700e-03, 3.0558739546736430e-04],
+                     np.float32)
 
 
-def _odd_poly(u, coefs, clamp_val):
-    """u * cheb(u^2) for |u| <= 6, +-clamp_val outside (Clenshaw, fp32)."""
-    uf = u.astype(jnp.float32)
+def _horner(t, coefs):
+    acc = jnp.full_like(t, coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = acc * t + c
+    return acc
+
+
+def _odd_poly(uf, pq, clamp_val):
+    """u * P(u^2)/Q(u^2) for |u| <= 6, +-clamp_val outside (fp32 in/out)."""
+    p_co, q_co = pq
     t = uf * uf
-    xp = (t - 18.0) * (1.0 / 18.0)                 # map [0, 36] -> [-1, 1]
-    b1 = jnp.zeros_like(xp)
-    b2 = jnp.zeros_like(xp)
-    for c in coefs[:0:-1]:
-        b1, b2 = 2.0 * xp * b1 - b2 + c, b1
-    f = coefs[0] + xp * b1 - b2
+    f = _horner(jnp.minimum(t, 36.0), p_co) / _horner(jnp.minimum(t, 36.0), q_co)
     return jnp.where(t > 36.0, jnp.sign(uf) * clamp_val, uf * f)
 
 
 def _act_pair(name: str):
-    """(f, df) for the supported activations. gelu tracks the exact erf form
-    to ~2e-5 via the odd polynomials above."""
+    """(f, df) for the supported activations; f/df take and return fp32
+    (the kernels keep the hidden pre-activation in fp32 to avoid cast
+    passes).  gelu tracks the exact erf form to ~2e-5 via the rationals
+    above."""
     if name == "gelu":
-        def f(u):
-            uf = u.astype(jnp.float32)
-            s = _odd_poly(u, _GELU_S_CHEB, 0.5)             # Phi(u) - 0.5
-            return (uf * (0.5 + s)).astype(u.dtype)
+        def f(uf):
+            s = _odd_poly(uf, (_GELU_S_P, _GELU_S_Q), 0.5)   # Phi(u) - 0.5
+            return uf * (0.5 + s)
 
-        def df(u):
-            return 0.5 + _odd_poly(u, _GELU_D_CHEB, 0.5)    # fp32
+        def df(uf):
+            return 0.5 + _odd_poly(uf, (_GELU_D_P, _GELU_D_Q), 0.5)
 
         return f, df
     if name == "relu":
-        return (lambda u: jnp.maximum(u, 0),
-                lambda u: (u > 0).astype(jnp.float32))
+        return (lambda uf: jnp.maximum(uf, 0.0),
+                lambda uf: (uf > 0.0).astype(jnp.float32))
     raise ValueError(f"fused_ffn: unsupported activation {name!r}")
 
 
@@ -106,19 +112,19 @@ def _fwd_kernel(activation, act_rate, out_rate,
     f, _ = _act_pair(activation)
     dtype = x_ref.dtype
     u = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    u = u.astype(dtype) + b1_ref[:]
+    u = u + b1_ref[:].astype(jnp.float32)          # fp32 end-to-end
     h = f(u)
     if act_rate > 0.0 or out_rate > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     if act_rate > 0.0:
-        keep = np.float32(1.0 - act_rate)
-        h = jnp.where(_mask(h.shape, act_rate), h / keep.astype(dtype), 0)
-    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    y = y.astype(dtype) + b2_ref[:]
+        inv = np.float32(1.0 / (1.0 - act_rate))
+        h = jnp.where(_mask(h.shape, act_rate), h * inv, 0.0)
+    y = jnp.dot(h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32)
+    y = y + b2_ref[:].astype(jnp.float32)
     if out_rate > 0.0:
-        keep = np.float32(1.0 - out_rate)
-        y = jnp.where(_mask(y.shape, out_rate), y / keep.astype(dtype), 0)
-    y_ref[:] = y
+        inv = np.float32(1.0 / (1.0 - out_rate))
+        y = jnp.where(_mask(y.shape, out_rate), y * inv, 0.0)
+    y_ref[:] = y.astype(dtype)
 
 
 def _bwd_kernel(activation, act_rate, out_rate,
@@ -130,23 +136,24 @@ def _bwd_kernel(activation, act_rate, out_rate,
 
     # recompute the forward hidden (+ bit-identical masks)
     u = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    u = u.astype(dtype) + b1_ref[:]
+    u = u + b1_ref[:].astype(jnp.float32)          # fp32 end-to-end
     h = f(u)
     if act_rate > 0.0 or out_rate > 0.0:
         pltpu.prng_seed(seed_ref[0], i)
-    keep_a = np.float32(1.0 - act_rate)
     if act_rate > 0.0:
+        inv_a = np.float32(1.0 / (1.0 - act_rate))
         mask_a = _mask(h.shape, act_rate)
-        h_d = jnp.where(mask_a, h / keep_a.astype(dtype), 0)
+        h_d = jnp.where(mask_a, h * inv_a, 0.0).astype(dtype)
     else:
         mask_a = None
-        h_d = h
+        h_d = h.astype(dtype)
 
     g = dy_ref[:]
     if out_rate > 0.0:
-        keep_o = np.float32(1.0 - out_rate)
+        inv_o = np.float32(1.0 / (1.0 - out_rate))
         # mask bits are drawn in the same order as forward: act bits first
-        g = jnp.where(_mask(g.shape, out_rate), g / keep_o.astype(dtype), 0)
+        g = jnp.where(_mask(g.shape, out_rate),
+                      g.astype(jnp.float32) * inv_o, 0.0).astype(dtype)
 
     # dh -> du  (contract on dim 1 == right-multiply by w^T, no transpose op)
     dh = jax.lax.dot_general(
@@ -154,7 +161,7 @@ def _bwd_kernel(activation, act_rate, out_rate,
         preferred_element_type=jnp.float32)
     du = dh * df(u)
     if act_rate > 0.0:
-        du = jnp.where(mask_a, du / keep_a, 0.0)
+        du = jnp.where(mask_a, du * inv_a, 0.0)
     du = du.astype(dtype)
 
     dx_ref[:] = jax.lax.dot_general(
