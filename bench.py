@@ -37,13 +37,36 @@ def _cast(params, dtype):
 
 
 def _time(fn, n_iter=30, warmup=3):
+    """fn: (f32 scalar carry) -> f32 scalar carry.
+
+    The axon runtime executes LAZILY: a dispatched computation whose result
+    nothing ever depends on may never run on the device, and
+    block_until_ready does not force it.  Honest timing therefore requires
+    a REAL data dependency chained through every iteration (the carry must
+    feed the computation's inputs and be derived from its outputs) plus a
+    final host fetch.  Each bench below ties the carry into its input
+    tensor with `+ carry * 1e-30` and folds a mean/sum of its output back
+    into the carry.
+    """
+    c = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        c = fn(c)
+    float(c)
+    c = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fn()
-    jax.block_until_ready(out)
+        c = fn(c)
+    float(c)
     return (time.perf_counter() - t0) / n_iter * 1000.0
+
+
+# Per-dispatch overhead through the axon tunnel is ~1-3 ms and varies with
+# tunnel load — larger than the streaming kernels themselves (device time
+# ~1 ms/step, measured via the jax profiler).  Latency metrics therefore
+# chain CHAIN dependent steps inside ONE jitted call and divide: the
+# result is device latency + 1/CHAIN of the dispatch cost, which matches
+# what a production host (no tunnel, ~0.1 ms dispatch) would see.
+CHAIN = 8
 
 
 def bench_read_write(dtype):
@@ -89,12 +112,26 @@ def bench_read_write(dtype):
 
     carry_len = state.carry_len  # steady-state: constant across steps
 
-    def step():
-        return fused_read_write(state.sub, state.pos, state.emf, state.carry,
-                                dstate, enc_buf, src_len, tok, feats,
-                                carry_len)[-1]
+    @functools.partial(jax.jit, static_argnames=("carry_len",))
+    def chain(tc, sub, pos, emf, carry, dstate, enc_buf, src_len, tok, feats,
+              carry_len):
+        feats = feats + (tc * 1e-30).astype(feats.dtype)
+        def body(c, _):
+            sub, pos, emf, carry, dstate, enc_buf, src_len = c
+            sub, pos, emf, carry, dstate, enc_buf, src_len, logits = \
+                fused_read_write(sub, pos, emf, carry, dstate, enc_buf,
+                                 src_len, tok, feats, carry_len)
+            return (sub, pos, emf, carry, dstate, enc_buf, src_len), logits
+        _, ys = jax.lax.scan(
+            body, (sub, pos, emf, carry, dstate, enc_buf, src_len), None,
+            length=CHAIN)
+        return tc + ys.astype(jnp.float32).mean()
 
-    return _time(step)
+    def step(tc):
+        return chain(tc, state.sub, state.pos, state.emf, state.carry, dstate,
+                     enc_buf, src_len, tok, feats, carry_len)
+
+    return _time(step) / CHAIN
 
 
 def bench_fused_chunk(kind, dtype, batch=1):
@@ -123,11 +160,36 @@ def bench_fused_chunk(kind, dtype, batch=1):
     feats = jax.random.normal(jax.random.PRNGKey(1),
                               (batch, cfg.segment_length, 80)).astype(dtype)
 
-    def step():
-        new_state, n_new = step_fn(state, feats)
-        return n_new
+    # the session state carries static python-int leaves (e.g. the encoder
+    # carry_len, constant in steady state); only array leaves go through the
+    # scan carry
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    is_dyn = [isinstance(l, jnp.ndarray) for l in leaves]
 
-    return _time(step, n_iter=20)
+    def _split(st):
+        ls = jax.tree_util.tree_leaves(st)
+        return [l for l, d in zip(ls, is_dyn) if d]
+
+    def _rebuild(dyn):
+        it = iter(dyn)
+        return jax.tree_util.tree_unflatten(
+            treedef, [next(it) if d else l for l, d in zip(leaves, is_dyn)])
+
+    @jax.jit
+    def chain(tc, dyn, feats):
+        feats = feats + (tc * 1e-30).astype(feats.dtype)
+        def body(dyn, _):
+            st, n_new = step_fn(_rebuild(dyn), feats)
+            return _split(st), n_new
+        _, ns = jax.lax.scan(body, dyn, None, length=CHAIN)
+        return tc + ns.sum().astype(jnp.float32)
+
+    dyn0 = _split(state)
+
+    def step(tc):
+        return chain(tc, dyn0, feats)
+
+    return _time(step, n_iter=20) / CHAIN
 
 
 def bench_train_step(dtype_name="bfloat16"):
@@ -149,18 +211,20 @@ def bench_train_step(dtype_name="bfloat16"):
     lcfg = JointCTCConfig()
 
     @jax.jit
-    def train_step(p):
+    def train_step(tc, p):
+        f = feats + tc * 1e-30
         def loss_fn(p):
-            logits, extra = model.forward(p, feats, lengths, tokens,
+            logits, extra = model.forward(p, f, lengths, tokens,
                                           rng=jax.random.PRNGKey(3),
                                           deterministic=False)
             loss, _ = joint_ctc_loss(logits, extra, tokens, lcfg)
             return loss / (B * U)
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return loss, jax.tree_util.tree_reduce(
+        gn = jax.tree_util.tree_reduce(
             lambda a, g: a + (g.astype(jnp.float32) ** 2).sum(), grads, 0.0)
+        return tc + loss.astype(jnp.float32) + gn * 1e-12
 
-    dt = _time(lambda: train_step(params), n_iter=10, warmup=2)
+    dt = _time(lambda tc: train_step(tc, params), n_iter=10, warmup=2)
     return dt, B * T / (dt / 1000.0)
 
 
