@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="fused device-side chunk steps (one XLA call per "
                         "chunk incl. all WRITEs)")
+    p.add_argument("--scan-sessions", action="store_true",
+                   help="run each utterance bucket's whole chunk schedule in "
+                        "one lax.scan program (3 dispatches/bucket); _CA "
+                        "latency becomes a conservative upper bound")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 streams B utterances per device call (requires "
                         "--fused; chunk-count-bucketed lock-step batching)")
@@ -111,7 +115,8 @@ def main(argv=None):
     if args.batch_size > 1:
         assert args.fused, "--batch-size > 1 requires --fused"
         scores = evaluate_batched(agent, utts, refs,
-                                  batch_size=args.batch_size, log_path=log)
+                                  batch_size=args.batch_size, log_path=log,
+                                  scan=args.scan_sessions)
     else:
         scores = evaluate(agent, utts, refs, log_path=log)
     with open(os.path.join(args.output, "scores"), "w") as f:

@@ -241,6 +241,68 @@ class FusedBatchSession:
         return [[int(t) for t in toks[i, n_before[i]:n_after[i]]]
                 for i in range(self.batch)]
 
+    def process_session(self, chunk_lists: List[List[np.ndarray]]
+                        ) -> List[List[List[int]]]:
+        """Whole-session scanned evaluation: `chunk_lists[i]` is example i's
+        full per-chunk sample schedule (lock-step sizes; the final chunk may
+        be shorter per example).  Runs first chunk + ONE lax.scan over the
+        steady chunks + finish chunk — three dispatches total instead of one
+        per chunk (fused.make_scanned_runner).  Token-for-token identical to
+        the process_chunk_batch loop.  Returns per-example, per-chunk
+        newly-emitted token lists."""
+        from simulst_tpu.stream.fused import make_scanned_runner
+        n_chunks = len(chunk_lists[0])
+        assert all(len(c) == n_chunks for c in chunk_lists)
+        feats = [[fb(c) for c in chunks]
+                 for fb, chunks in zip(self.fbanks, chunk_lists)]
+        if n_chunks < 2:
+            # degenerate single-chunk session: plain batched call
+            out = self.process_chunk_batch([c[0] for c in chunk_lists],
+                                           finished=True)
+            return [[toks] for toks in out]
+
+        n_feat = self.agent.cfg.input_feat
+
+        def stack(col):
+            mx = max(f.shape[0] for f in col)
+            x = np.zeros((self.batch, mx, n_feat), np.float32)
+            for i, f in enumerate(col):
+                x[i, :f.shape[0]] = f
+            return (jnp.asarray(x) if mx > 0 else None,
+                    np.array([f.shape[0] for f in col], np.int32))
+
+        first, c0 = stack([f[0] for f in feats])
+        assert (c0 == c0[0]).all(), "first chunks must align"
+        mid = None
+        if n_chunks > 2:
+            cols = [[f[k] for f in feats] for k in range(1, n_chunks - 1)]
+            for col in cols:
+                ns = {f.shape[0] for f in col}
+                assert len(ns) == 1, "mid-stream chunks must align"
+            mid = jnp.asarray(np.stack(
+                [np.stack(col) for col in cols]))           # (N, B, c, F)
+        last, cl = stack([f[-1] for f in feats])
+        n_valid = jnp.asarray(cl) if last is not None and \
+            (cl != cl.max()).any() else None
+
+        if not hasattr(self, "_scan_runner"):
+            self._scan_runner = make_scanned_runner(self.step_fn)
+        n_before = np.asarray(self.state.n_tokens)
+        self.state, counts = self._scan_runner(self.state, first, mid, last,
+                                               n_valid)
+        counts = np.asarray(counts)                          # (n_chunks, B)
+        toks = np.asarray(self.state.tokens)
+        out = []
+        for i in range(self.batch):
+            pos = int(n_before[i])
+            per_chunk = []
+            for k in range(n_chunks):
+                n = int(counts[k, i])
+                per_chunk.append([int(t) for t in toks[i, pos:pos + n]])
+                pos += n
+            out.append(per_chunk)
+        return out
+
 
 class MMAAgent(SpeechAgent):
     session_cls = MMASession

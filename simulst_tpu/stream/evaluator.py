@@ -223,9 +223,18 @@ def _chunk_count(n_samples: int, first: int, steady: int) -> int:
     return k
 
 
-def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int):
+def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
+                     scan: bool = False):
     """Run len(wavs) same-chunk-count utterances lock-step through one
-    batched fused session.  Returns per-example (words, delays, elapsed)."""
+    batched fused session.  Returns per-example (words, delays, elapsed).
+
+    scan=True runs the whole session in three dispatches (first chunk +
+    lax.scan over steady chunks + finish; FusedBatchSession.process_session)
+    — identical tokens/delays, much higher throughput.  Because all chunks
+    compute inside one call, the computation-aware (_CA) elapsed time
+    attributes the WHOLE session's wall clock to every chunk: _CA metrics
+    are then an upper bound (conservative), while the throughput gain is
+    real."""
     from simulst_tpu.stream.agents import chunk_geometry_ms
     first_ms, steady_ms = chunk_geometry_ms(agent.cfg)
     n_first = int(first_ms / 1000.0 * SAMPLE_RATE)
@@ -236,6 +245,30 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int):
     mergers = [_WordMerger(agent.vocab.symbols) for _ in range(B)]
     consumed = [0] * B
     t0 = time.perf_counter()
+
+    if scan:
+        chunk_lists, consumed_at = [], []
+        for i, wav in enumerate(wavs):
+            chunks, marks, pos = [], [], 0
+            for c in range(n_chunks):
+                n = n_first if c == 0 else n_steady
+                chunks.append(wav[pos: pos + n])
+                pos = min(pos + n, len(wav))
+                marks.append(pos)
+            chunk_lists.append(chunks)
+            consumed_at.append(marks)
+        out = session.process_session(chunk_lists)
+        wall = (time.perf_counter() - t0) * 1000.0
+        for i in range(B):
+            for c, toks in enumerate(out[i]):
+                if mergers[i].done:
+                    break
+                d = consumed_at[i][c] / SAMPLE_RATE * 1000.0
+                mergers[i].push(toks, d, wall + d)
+            d = consumed_at[i][-1] / SAMPLE_RATE * 1000.0
+            mergers[i].flush(d, wall + d)
+        return [(m.words, m.delays, m.elapsed) for m in mergers]
+
     for c in range(n_chunks):
         n = n_first if c == 0 else n_steady
         chunks = []
@@ -256,8 +289,8 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int):
 
 
 def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
-                     batch_size: int = 8, log_path: Optional[str] = None
-                     ) -> Dict[str, float]:
+                     batch_size: int = 8, log_path: Optional[str] = None,
+                     scan: bool = False) -> Dict[str, float]:
     """Batched `evaluate`: utterances are bucketed by chunk count (so every
     example in a batch shares the static chunk schedule) and streamed B at a
     time through the fused device step.  Per-example outputs are identical to
@@ -277,7 +310,8 @@ def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
     for k, idxs in sorted(buckets.items()):
         for lo in range(0, len(idxs), batch_size):
             group = idxs[lo: lo + batch_size]
-            results = _run_fused_batch(agent, [wavs[i] for i in group], k)
+            results = _run_fused_batch(agent, [wavs[i] for i in group], k,
+                                       scan=scan)
             for i, (words, delays, elapsed) in zip(group, results):
                 instances[i] = Instance(
                     index=i, prediction=" ".join(words),

@@ -369,3 +369,83 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
         return new_state, n_new
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# whole-session scanned runner
+#
+# For EVALUATION the full audio is known upfront, so the per-chunk dispatch
+# loop (one XLA call + host round-trip per chunk) collapses to THREE
+# dispatches per lock-step bucket: the long first chunk, ONE lax.scan over
+# all steady chunks, and the finish chunk.  Beyond removing per-chunk
+# dispatch, XLA hoists loop-invariant work (weight layout/casts) out of the
+# scan: profiling shows ~6x lower device time per chunk than the chunk-wise
+# driver.  Token-for-token identical to the chunk loop (same step function;
+# tested in tests/test_scanned_session.py).  The reference evaluates one
+# utterance at a time with a host round-trip per READ/WRITE decision
+# (SimulEval agent protocol, default_agent.py:364-413).
+# ---------------------------------------------------------------------------
+
+def make_scanned_runner(step_fn):
+    """Wrap a fused step (from make_*_fused_step) into
+    run(state, first, mid, last, last_valid) -> (state, counts):
+
+    first: (B, c0, F); mid: (N, B, c, F) steady chunks (N may be 0);
+    last: (B, cl, F) with per-example `last_valid` feature counts (the
+    finish call).  Returns the final state and per-chunk emitted-token
+    counts (N + 2, B).
+    """
+    scan_cache = {}
+
+    def _scan_mid(state, mid):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        is_dyn = tuple(isinstance(l, jnp.ndarray) for l in leaves)
+        statics = tuple(None if d else l for l, d in zip(leaves, is_dyn))
+        key = (treedef, is_dyn, statics)
+        if key not in scan_cache:
+            def split(st):
+                ls = jax.tree_util.tree_leaves(st)
+                return [l for l, d in zip(ls, is_dyn) if d]
+
+            def rebuild(dyn):
+                it = iter(dyn)
+                return jax.tree_util.tree_unflatten(
+                    treedef,
+                    [next(it) if d else s
+                     for s, d in zip(statics, is_dyn)])
+
+            @jax.jit
+            def scan_mid(dyn, mids):
+                def body(dyn, feats):
+                    st_in = rebuild(dyn)
+                    st, n_new = step_fn(st_in, feats)
+                    # the static leaves (e.g. enc.carry_len) must be at
+                    # their steady-state fixed point inside the scan
+                    assert jax.tree_util.tree_structure(st) == treedef
+                    new_statics = tuple(
+                        None if d else l for l, d in
+                        zip(jax.tree_util.tree_leaves(st), is_dyn))
+                    assert new_statics == statics, \
+                        "fused state statics changed mid-scan"
+                    return split(st), n_new
+                return jax.lax.scan(body, dyn, mids)
+
+            scan_cache[key] = (split, rebuild, scan_mid)
+        split, rebuild, scan_mid = scan_cache[key]
+        dyn, ns = scan_mid(split(state), mid)
+        return rebuild(list(dyn)), ns
+
+    def run(state, first, mid, last, last_valid=None):
+        """The final call always carries finish=True; pass last=None for a
+        flush-only finish (no new features).  Requires >= 2 chunks."""
+        counts = []
+        state, n0 = step_fn(state, first)
+        counts.append(n0[None])
+        if mid is not None and mid.shape[0] > 0:
+            state, ns = _scan_mid(state, mid)
+            counts.append(ns)
+        state, nl = step_fn(state, last, finish=True, n_valid=last_valid)
+        counts.append(nl[None])
+        return state, jnp.concatenate(counts, axis=0)
+
+    return run

@@ -1,0 +1,77 @@
+"""Whole-session scanned evaluation (3 dispatches per bucket) must be
+token-for-token identical to the per-chunk fused loop (stream/fused.py
+make_scanned_runner; FusedBatchSession.process_session)."""
+import json
+
+import numpy as np
+import jax
+
+from simulst_tpu.data.vocab import SPECIALS, Vocabulary
+from simulst_tpu.models.cif import CIFConfig, CIFModel
+from simulst_tpu.models.mma import MMAConfig, MMAModel
+from simulst_tpu.stream.agents import AgentConfig, CIFAgent, MMAAgent
+from simulst_tpu.stream.evaluator import evaluate_batched
+
+
+def _vocab(n=24):
+    syms = list(SPECIALS) + [f"▁w{i}" for i in range(n - 8)] + \
+        [f"x{i}" for i in range(4)]
+    return Vocabulary(syms)
+
+
+def small_kwargs(v):
+    return dict(vocab_size=len(v), input_feat=80, conv_channels=16,
+                embed_dim=16, ffn_dim=32, encoder_layers=1, encoder_heads=2,
+                decoder_layers=1, decoder_heads=2, decoder_ffn_dim=32,
+                segment_length=16, left_context=32, right_context=8,
+                max_memory=2, dropout=0.0, attention_dropout=0.0,
+                activation_dropout=0.0)
+
+
+def _audios():
+    rng = np.random.RandomState(0)
+    # incl. a single-chunk utterance (fallback path) and mixed final sizes
+    secs = [0.25, 0.9, 1.0, 1.3, 1.0]
+    return [(rng.randn(int(16000 * s)) * 0.05).astype(np.float32)
+            for s in secs]
+
+
+def _eval(agent, audios, tmp_path, scan):
+    log = str(tmp_path / f"instances_{scan}.log")
+    scores = evaluate_batched(agent, audios, references=["r"] * len(audios),
+                              batch_size=3, log_path=log, scan=scan)
+    inst = [json.loads(l) for l in open(log)]
+    inst.sort(key=lambda x: x["index"])
+    return scores, [(x["prediction"], x["delays"]) for x in inst]
+
+
+def test_cif_scanned_matches_chunked(tmp_path):
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = CIFAgent(model, params, v, acfg, fused=True)
+    audios = _audios()
+    _, chunked = _eval(agent, audios, tmp_path, scan=False)
+    _, scanned = _eval(agent, audios, tmp_path, scan=True)
+    for i, ((pc, dc), (ps, ds)) in enumerate(zip(chunked, scanned)):
+        assert pc == ps, f"utt {i}: {pc!r} != {ps!r}"
+        np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_mma_scanned_matches_chunked(tmp_path):
+    v = _vocab()
+    cfg = MMAConfig(**small_kwargs(v),
+                    simul_attn_type="waitk_fixed_pre_decision",
+                    waitk_lagging=2, fixed_pre_decision_ratio=2)
+    model = MMAModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = MMAAgent(model, params, v, acfg, fused=True)
+    audios = _audios()
+    _, chunked = _eval(agent, audios, tmp_path, scan=False)
+    _, scanned = _eval(agent, audios, tmp_path, scan=True)
+    for i, ((pc, dc), (ps, ds)) in enumerate(zip(chunked, scanned)):
+        assert pc == ps, f"utt {i}: {pc!r} != {ps!r}"
+        np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
