@@ -192,6 +192,55 @@ def bench_fused_chunk(kind, dtype, batch=1):
     return _time(step, n_iter=20) / CHAIN
 
 
+def bench_eval_throughput(dtype, batch=8, n_chunks=16):
+    """Scanned-session evaluation throughput: B utterances x (n_chunks
+    chunks = ~10s audio each) through CIFAgent.process_session (3 dispatches
+    per batch).  The result is HONEST wall time: process_session fetches the
+    token buffer to host, which forces execution.  Returns (utterances/sec,
+    x-realtime aggregate).  The reference caps at B==1 with a host round
+    trip per READ/WRITE (cif_agent.py:341-343, default_agent.py:364-413)."""
+    import numpy as np
+    from simulst_tpu.data.vocab import SPECIALS, Vocabulary
+    from simulst_tpu.models.cif import CIFConfig, CIFModel
+    from simulst_tpu.stream.agents import (AgentConfig, CIFAgent,
+                                           chunk_geometry_ms)
+
+    syms = list(SPECIALS) + [f"w{i}" for i in range(4100 - len(SPECIALS))]
+    vocab = Vocabulary(syms)
+    cfg = CIFConfig(vocab_size=4100)
+    model = CIFModel(cfg)
+    params = _cast(model.init(jax.random.PRNGKey(0)), dtype)
+    acfg = AgentConfig(max_tgt_len=256, max_src_frames=1024)
+    agent = CIFAgent(model, params, vocab, acfg, fused=True)
+
+    first_ms, steady_ms = chunk_geometry_ms(cfg)
+    n_first = int(first_ms / 1000.0 * 16000)
+    n_steady = int(steady_ms / 1000.0 * 16000)
+    rng = np.random.RandomState(0)
+    audio_s = (first_ms + (n_chunks - 1) * steady_ms) / 1000.0
+
+    def chunks_for(scale):
+        wav = (rng.randn(n_first + (n_chunks - 1) * n_steady) * scale
+               ).astype(np.float32)
+        return [wav[:n_first]] + [
+            wav[n_first + i * n_steady: n_first + (i + 1) * n_steady]
+            for i in range(n_chunks - 1)]
+
+    def run_batch():
+        session = agent.new_batched_session(batch)
+        return session.process_session(
+            [chunks_for(0.04 + 0.01 * i) for i in range(batch)])
+
+    run_batch()                               # compile
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = run_batch()
+    dt = (time.perf_counter() - t0) / n_iter
+    ups = batch / dt
+    return ups, ups * audio_s
+
+
 def bench_train_step(dtype_name="bfloat16"):
     """Jitted fwd+bwd at the 32x1024 geometry (rbg dropout keys, the train
     CLI default)."""
@@ -254,6 +303,13 @@ def main():
     print(json.dumps({"metric": "batched_stream_throughput",
                       "value": round(thr, 1), "unit": "x_realtime_b8",
                       "vs_baseline": round(thr, 1)}))
+
+    ups, xrt = bench_eval_throughput(dtype)
+    extra["eval_throughput_utt_per_sec"] = round(ups, 1)
+    extra["eval_throughput_x_realtime"] = round(xrt)
+    print(json.dumps({"metric": "scanned_eval_throughput",
+                      "value": round(ups, 1), "unit": "utterances_per_sec_b8_10s",
+                      "vs_baseline": round(xrt)}))
 
     train_ms, fps = bench_train_step()
     extra["train_step_latency_ms"] = round(train_ms, 3)

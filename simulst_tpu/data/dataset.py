@@ -22,7 +22,10 @@ from simulst_tpu.data.vocab import EOS, PAD, Vocabulary
 class BatcherConfig:
     max_tokens: int = 40000          # frames per batch (fairseq --max-tokens)
     max_sentences: Optional[int] = None
-    frame_buckets: Sequence[int] = (256, 512, 768, 1024, 1536, 2048, 3000)
+    # every bucket's post-subsample length is a multiple of the Emformer
+    # segment (16), so the grouped-attention fast path always applies;
+    # 3072 covers the manifest filter's 3000-frame maximum
+    frame_buckets: Sequence[int] = (256, 512, 768, 1024, 1536, 2048, 3072)
     token_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128)
     cmvn: str = "utterance"          # "utterance" | "global" | "none"
     shuffle: bool = True

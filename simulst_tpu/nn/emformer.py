@@ -329,14 +329,29 @@ def _group_gather_indices(U: int, seg: int, lc: int, rc: int, max_mem: int,
     return idx, valid, utt_col, allowed
 
 
-def _grouped_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
-                       lengths, rngs, deterministic):
+def _choose_group(n: int, U: int, cfg: EmformerConfig) -> int:
+    """Largest usable segment-group size G <= cfg.segment_group: G must
+    divide n, and the first group's clamped utterance window must fit
+    ((n - G) * seg >= lc).  Returns 1 when no grouping applies (ragged U,
+    memory off, or no valid divisor) — smaller buckets (e.g. n = 4 or 12
+    with the default G = 8) then still get a grouped kernel at G = 2/4/6
+    instead of falling back to per-segment blocks."""
+    if not (cfg.segmented_attention and cfg.use_mem
+            and cfg.segment_group > 1 and U == n * cfg.segment and n >= 2):
+        return 1
+    for g in range(min(cfg.segment_group, n), 1, -1):
+        if n % g == 0 and (n - g) * cfg.segment >= cfg.left_context:
+            return g
+    return 1
+
+
+def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
+                       summary, lengths, rngs, deterministic):
     """Grouped-segment training attention: same math as _segmented_attention
     with G segments per block (see _group_gather_indices).  Returns
     (rc_utt_out (B, rc_len+U, D), summary_out (B, n, D))."""
     b, U, d = utt_ln.shape
-    seg, lc, rc, G = cfg.segment, cfg.left_context, cfg.right_context, \
-        cfg.segment_group
+    seg, lc, rc = cfg.segment, cfg.left_context, cfg.right_context
     n = U // seg
     ng = n // G
     h = cfg.num_heads
@@ -485,12 +500,12 @@ def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
         summary = utt_ln[:, :0]
     n = _num_segs(U, cfg.segment)
 
-    G = cfg.segment_group
-    groupable = (cfg.segmented_attention and cfg.use_mem and G > 1
-                 and U == n * cfg.segment and n % G == 0 and n >= 2)
+    G = _choose_group(n, U, cfg)
+    groupable = G > 1
     if groupable:
         rc_utt_out, summary_out = _grouped_attention(
-            p, cfg, utt_ln, rc_ln, mems, summary, lengths, rngs, deterministic)
+            p, cfg, G, utt_ln, rc_ln, mems, summary, lengths, rngs,
+            deterministic)
     elif cfg.segmented_attention:
         rc_utt_out, summary_out = _segmented_attention(
             p, cfg, utt_ln, rc_ln, mems, summary, lengths, rngs, deterministic)

@@ -285,11 +285,15 @@ class FusedBatchSession:
         n_valid = jnp.asarray(cl) if last is not None and \
             (cl != cl.max()).any() else None
 
-        if not hasattr(self, "_scan_runner"):
-            self._scan_runner = make_scanned_runner(self.step_fn)
+        # the runner (and its jitted scan) is cached on the AGENT: sessions
+        # are per-utterance-batch transient, and a fresh runner would
+        # recompile the scan every batch
+        runner = getattr(self.agent, "_scan_runner", None)
+        if runner is None:
+            runner = make_scanned_runner(self.step_fn)
+            self.agent._scan_runner = runner
         n_before = np.asarray(self.state.n_tokens)
-        self.state, counts = self._scan_runner(self.state, first, mid, last,
-                                               n_valid)
+        self.state, counts = runner(self.state, first, mid, last, n_valid)
         counts = np.asarray(counts)                          # (n_chunks, B)
         toks = np.asarray(self.state.tokens)
         out = []
