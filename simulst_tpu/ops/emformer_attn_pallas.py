@@ -98,24 +98,6 @@ class AttnGeom(NamedTuple):
         return (self.n - 1) + self.n * self.rc + self.U
 
 
-@functools.lru_cache(maxsize=64)
-def _row_tables(geom: AttnGeom):
-    """(row_seg (nq,), is_sum (nq,)) as numpy constants."""
-    G, rc, seg = geom.G, geom.rc, geom.seg
-    nq = geom.nq
-    row_seg = np.zeros((nq,), np.int32)
-    is_sum = np.zeros((nq,), bool)
-    for r in range(nq):
-        if r < G * rc:
-            row_seg[r] = r // rc
-        elif r < G * rc + G * seg:
-            row_seg[r] = (r - G * rc) // seg
-        else:
-            row_seg[r] = r - G * rc - G * seg
-            is_sum[r] = True
-    return row_seg, is_sum
-
-
 def _align_down(i):
     return pl.multiple_of((i // ALIGN) * ALIGN, ALIGN)
 

@@ -1,8 +1,6 @@
 """Fused grouped-segment attention kernel (ops/emformer_attn_pallas.py) vs
 the gathered XLA formulation (nn/emformer._grouped_attention) — interpret
 mode, fp32, so any disagreement is a real math bug, not precision."""
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
