@@ -17,9 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from simulst_tpu.losses.joint_ctc import JointCTCConfig, smoothed_ctc_loss
-from simulst_tpu.losses.label_smoothed_ce import ce_loss, log_softmax
+from simulst_tpu.losses.label_smoothed_ce import ce_loss
 from simulst_tpu.losses.latency import differentiable_average_lagging
-from simulst_tpu.ops.ctc import best_alignment, ctc_loss
+from simulst_tpu.ops.ctc import best_alignment, ctc_loss_raw
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,11 +99,15 @@ def cif_loss(logits, extra, target, src_lengths, cfg: CIFLossConfig):
     c_loss = 0.0
     ctc_lp = None
     if extra.get("ctc_logits") is not None:
-        ctc_lp = log_softmax(extra["ctc_logits"])
+        # raw logits throughout: the CTC DP normalizes internally, and the
+        # Viterbi best-alignment path is invariant to the per-frame
+        # logsumexp shift (a constant added to every state at frame t does
+        # not change the argmax backpointers)
+        ctc_lp = extra["ctc_logits"]
         if cfg.ctc_factor != 0.0:
-            c_loss = ctc_loss(ctc_lp, enc_lens, ctc_tgt, ctc_lens,
-                              blank=cfg.blank_idx,
-                              zero_infinity=cfg.zero_infinity)
+            c_loss = ctc_loss_raw(ctc_lp, enc_lens, ctc_tgt, ctc_lens,
+                                  blank=cfg.blank_idx,
+                                  zero_infinity=cfg.zero_infinity)
 
     tpm = target == cfg.padding_idx
     tgt_lens = (~tpm).sum(axis=1)

@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
-from simulst_tpu.losses.label_smoothed_ce import ce_loss, log_softmax
-from simulst_tpu.ops.ctc import ctc_loss
+from simulst_tpu.losses.label_smoothed_ce import ce_loss
+from simulst_tpu.ops.ctc import ctc_loss_raw
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,13 +44,19 @@ def ctc_targets(target, cfg: JointCTCConfig):
 
 
 def smoothed_ctc_loss(ctc_logits, encoder_lengths, target, cfg: JointCTCConfig):
-    lprobs = log_softmax(ctc_logits)                    # (B, T, V)
+    # works on RAW logits: the CTC DP selects label columns and subtracts
+    # logsumexp inside ops/ctc (the full (B, T, V) log-prob tensor never
+    # materializes), and the smoothing term -sum_v lprobs[t, v] equals
+    # V * LSE(logits[t]) - sum_v logits[t, v]
     tgt, tgt_lens = ctc_targets(target, cfg)
-    nll = ctc_loss(lprobs, encoder_lengths, tgt, tgt_lens,
-                   blank=cfg.blank_idx, zero_infinity=cfg.zero_infinity)
-    valid = jnp.arange(lprobs.shape[1])[None, :] < encoder_lengths[:, None]
-    smooth = jnp.where(valid, -lprobs.sum(-1), 0.0).sum()
-    eps_i = cfg.label_smoothing / lprobs.shape[-1]
+    nll = ctc_loss_raw(ctc_logits, encoder_lengths, tgt, tgt_lens,
+                       blank=cfg.blank_idx, zero_infinity=cfg.zero_infinity)
+    v = ctc_logits.shape[-1]
+    lf = ctc_logits.astype(jnp.float32)
+    neg_lp_sum = v * jax.nn.logsumexp(lf, axis=-1) - lf.sum(-1)   # (B, T)
+    valid = jnp.arange(lf.shape[1])[None, :] < encoder_lengths[:, None]
+    smooth = jnp.where(valid, neg_lp_sum, 0.0).sum()
+    eps_i = cfg.label_smoothing / v
     return (1.0 - cfg.label_smoothing) * nll + eps_i * smooth, nll
 
 

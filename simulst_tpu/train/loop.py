@@ -96,8 +96,10 @@ class Trainer:
                 loss_fn, optim_cfg, freeze_until)
             self.train_step = None
         else:
-            self.train_step = jax.jit(make_train_step(
-                loss_fn, optim_cfg, freeze_until=freeze_until))
+            # donate the TrainState: params + adam moments update in place
+            self.train_step = jax.jit(
+                make_train_step(loss_fn, optim_cfg, freeze_until=freeze_until),
+                donate_argnums=(0,))
         self.valid_fn = valid_fn
         self.best = None
         self.bad_epochs = 0

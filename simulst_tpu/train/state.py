@@ -10,6 +10,7 @@ XLA from the shardings.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
@@ -27,6 +28,10 @@ class TrainState(NamedTuple):
 
 def create_train_state(params, optim_cfg: OptimConfig) -> TrainState:
     tx = make_optimizer(optim_cfg)
+    # copy the caller's param arrays: the jitted train step DONATES the
+    # TrainState (params + adam moments update in place), which deletes the
+    # previous buffers — the caller's originals must stay valid
+    params = jax.tree.map(jnp.array, params)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32))
 
@@ -111,7 +116,7 @@ def make_accum_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
             loss_fn, has_aux=True)(params, batch, rng)
         return grads, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def apply_step(state: TrainState, grads, metrics):
         denom = jnp.maximum(metrics["sample_size"].astype(jnp.float32), 1.0)
         grads = jax.tree.map(lambda g: g / denom, grads)

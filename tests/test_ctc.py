@@ -100,3 +100,31 @@ def test_best_alignment_respects_lengths():
         assert seq[-1] in (2 * tl, 2 * tl - 1)
         assert ((seq[1:] - seq[:-1]) >= 0).all()
         assert ((seq[1:] - seq[:-1]) <= 2).all()
+
+
+def test_ctc_loss_raw_equals_log_softmax_path():
+    """ctc_loss_raw folds the logsumexp into the emission selection; values
+    AND gradients must match log_softmax -> ctc_loss."""
+    import jax
+    from simulst_tpu.ops.ctc import ctc_loss, ctc_loss_raw
+
+    rng = np.random.RandomState(5)
+    b, t, v, l = 3, 12, 17, 5
+    logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32)) * 2.0
+    targets = jnp.asarray(rng.randint(1, v, size=(b, l)).astype(np.int32))
+    in_lens = jnp.asarray([12, 9, 7], jnp.int32)
+    tgt_lens = jnp.asarray([5, 3, 0], jnp.int32)
+
+    def via_lsm(x):
+        lp = jax.nn.log_softmax(x, axis=-1)
+        return ctc_loss(lp, in_lens, targets, tgt_lens)
+
+    def via_raw(x):
+        return ctc_loss_raw(x, in_lens, targets, tgt_lens)
+
+    np.testing.assert_allclose(float(via_raw(logits)), float(via_lsm(logits)),
+                               rtol=1e-5)
+    g_raw = jax.grad(via_raw)(logits)
+    g_lsm = jax.grad(via_lsm)(logits)
+    np.testing.assert_allclose(np.asarray(g_raw), np.asarray(g_lsm),
+                               atol=1e-5, rtol=1e-4)
