@@ -195,10 +195,13 @@ class Trainer:
                 if updates % cfg.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     denom = max(m.get("sample_size", 1.0), 1.0)
-                    self.log({"epoch": epoch, "update": updates,
-                              "loss": m["loss"] / denom,
-                              "gnorm": m.get("gnorm", 0.0),
-                              "ups": updates / (time.time() - t0)})
+                    rec = {"epoch": epoch, "update": updates,
+                           "loss": m["loss"] / denom,
+                           "gnorm": m.get("gnorm", 0.0),
+                           "ups": updates / (time.time() - t0)}
+                    if m.get("skipped"):
+                        rec["skipped"] = m["skipped"]
+                    self.log(rec)
                 if updates % cfg.validate_interval_updates == 0:
                     self.validate(updates)
                 if updates >= cfg.max_updates:

@@ -91,9 +91,20 @@ def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
-        metrics = dict(metrics, gnorm=gnorm)
+        # non-finite gradients (bf16 overflow, bad batch) skip the update
+        # entirely — params, optimizer moments and step stay put (the
+        # fairseq trainer's overflow behavior, minus loss scaling which
+        # bf16 doesn't need)
+        ok = jnp.isfinite(gnorm)
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), params, state.params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o) if hasattr(n, "ndim") else n,
+            opt_state, state.opt_state)
+        metrics = dict(metrics, gnorm=gnorm,
+                       skipped=(~ok).astype(jnp.float32))
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), metrics
+                          step=state.step + jnp.where(ok, 1, 0)), metrics
 
     return train_step
 
@@ -128,8 +139,16 @@ def make_accum_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
                     lambda g: jnp.where(frozen, 0.0, g), grads[comp])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics, gnorm=optax.global_norm(grads))
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(gnorm)                    # see make_train_step
+        params = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), params, state.params)
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o) if hasattr(n, "ndim") else n,
+            opt_state, state.opt_state)
+        metrics = dict(metrics, gnorm=gnorm,
+                       skipped=(~ok).astype(jnp.float32))
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), metrics
+                          step=state.step + jnp.where(ok, 1, 0)), metrics
 
     return grad_step, apply_step

@@ -100,3 +100,28 @@ def test_trainer_update_freq_host_accumulation(tmp_path):
     for a, b in zip(jax.tree.leaves(tr.state.params),
                     jax.tree.leaves(tr1.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_nonfinite_grads_skip_update():
+    """A batch producing inf/nan gradients must leave params, optimizer
+    moments and the step counter untouched (fairseq overflow semantics)."""
+    from simulst_tpu.train.state import (OptimConfig, create_train_state,
+                                         make_train_step)
+    params = {"w": jnp.ones((4,))}
+
+    def loss_fn(p, batch, rng):
+        loss = (p["w"] * batch["x"]).sum()
+        return loss, {"loss": loss, "sample_size": jnp.asarray(1)}
+
+    step = jax.jit(make_train_step(loss_fn, OptimConfig(lr=0.1)))
+    state = create_train_state(params, OptimConfig(lr=0.1))
+    state1, m1 = step(state, {"x": jnp.ones((4,))}, jax.random.PRNGKey(0))
+    assert int(state1.step) == 1 and float(m1["skipped"]) == 0.0
+    w1 = np.asarray(state1.params["w"]).copy()   # donation deletes state1
+    bad = {"x": jnp.array([1.0, jnp.inf, 1.0, 1.0])}
+    state2, m2 = step(state1, bad, jax.random.PRNGKey(0))
+    assert float(m2["skipped"]) == 1.0
+    assert int(state2.step) == 1, "skipped step must not advance the counter"
+    np.testing.assert_array_equal(np.asarray(state2.params["w"]), w1)
+    state3, m3 = step(state2, {"x": jnp.ones((4,))}, jax.random.PRNGKey(0))
+    assert int(state3.step) == 2 and float(m3["skipped"]) == 0.0
