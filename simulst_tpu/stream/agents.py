@@ -253,13 +253,14 @@ class FusedBatchSession:
         from simulst_tpu.stream.fused import make_scanned_runner
         n_chunks = len(chunk_lists[0])
         assert all(len(c) == n_chunks for c in chunk_lists)
-        feats = [[fb(c) for c in chunks]
-                 for fb, chunks in zip(self.fbanks, chunk_lists)]
         if n_chunks < 2:
-            # degenerate single-chunk session: plain batched call
+            # degenerate single-chunk session: plain batched call (before
+            # any feature extraction — the fbanks carry residual samples)
             out = self.process_chunk_batch([c[0] for c in chunk_lists],
                                            finished=True)
             return [[toks] for toks in out]
+        feats = [[fb(c) for c in chunks]
+                 for fb, chunks in zip(self.fbanks, chunk_lists)]
 
         n_feat = self.agent.cfg.input_feat
 

@@ -75,3 +75,20 @@ def test_mma_scanned_matches_chunked(tmp_path):
     for i, ((pc, dc), (ps, ds)) in enumerate(zip(chunked, scanned)):
         assert pc == ps, f"utt {i}: {pc!r} != {ps!r}"
         np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_transducer_scanned_matches_chunked(tmp_path):
+    from simulst_tpu.models.transducer import TransducerConfig, TransducerModel
+    from simulst_tpu.stream.agents import TransducerAgent
+    v = _vocab()
+    cfg = TransducerConfig(**small_kwargs(v), ctc_layer=False)
+    model = TransducerModel(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = TransducerAgent(model, params, v, acfg, fused=True)
+    audios = _audios()
+    _, chunked = _eval(agent, audios, tmp_path, scan=False)
+    _, scanned = _eval(agent, audios, tmp_path, scan=True)
+    for i, ((pc, dc), (ps, ds)) in enumerate(zip(chunked, scanned)):
+        assert pc == ps, f"utt {i}: {pc!r} != {ps!r}"
+        np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
