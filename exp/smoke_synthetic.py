@@ -1,0 +1,130 @@
+"""End-to-end smoke on real hardware: synthetic corpus -> cli.train ->
+checkpoint averaging -> fused batched SCANNED streaming eval.
+
+Fabricates a learnable micro language (each word is a distinct tone, so the
+audio genuinely determines the text), builds reference-layout manifests +
+feature zip + vocab, then drives the REAL CLIs end to end.  Exercises the
+whole production stack together: Pallas kernels (when on TPU), donated
+train state, non-finite-step skipping, checkpoint metadata, and the
+scanned batched evaluator.
+
+Run: PYTHONPATH=.:/root/.axon_site python exp/smoke_synthetic.py [workdir]
+Exits non-zero unless training converges and streaming eval produces a
+sane BLEU on held-out audio.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simulst_tpu.data import manifest as mf
+from simulst_tpu.ops.fbank import fbank_np
+
+WORDS = ["eins", "zwei", "drei", "vier", "fuenf", "sechs"]
+TONES = [440.0, 550.0, 660.0, 770.0, 880.0, 990.0]
+SR = 16000
+WORD_S = 0.32
+
+
+def synth(words, rng):
+    parts = []
+    for w in words:
+        f = TONES[WORDS.index(w)]
+        t = np.arange(int(SR * WORD_S)) / SR
+        parts.append(np.sin(2 * np.pi * f * t) * 0.3)
+    wav = np.concatenate(parts) + rng.randn(
+        int(SR * WORD_S) * len(words)) * 0.01
+    return wav.astype(np.float32)
+
+
+def build_corpus(root, n_train=192, n_dev=16):
+    rng = np.random.RandomState(0)
+    os.makedirs(root, exist_ok=True)
+    all_rows = {"train": [], "dev": []}
+    feats = {}
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    dev_wavs, dev_refs = [], []
+    for split, n in (("train", n_train), ("dev", n_dev)):
+        for i in range(n):
+            words = [WORDS[rng.randint(len(WORDS))]
+                     for _ in range(rng.randint(2, 6))]
+            text = " ".join(words)
+            wav = synth(words, rng)
+            uid = f"{split}_{i}"
+            f = fbank_np(wav * 2 ** 15)
+            feats[uid] = f
+            all_rows[split].append(
+                {"id": uid, "n_frames": str(f.shape[0]),
+                 "src_text": text, "tgt_text": text, "speaker": "s"})
+            if split == "dev":
+                import wave, struct
+                path = os.path.join(wav_dir, uid + ".wav")
+                with wave.open(path, "w") as w:
+                    w.setnchannels(1); w.setsampwidth(2); w.setframerate(SR)
+                    w.writeframes((wav * 32767).astype(np.int16).tobytes())
+                dev_wavs.append(os.path.abspath(path))
+                dev_refs.append(text)
+    specs = mf.create_feature_zip(feats, os.path.join(root, "fbank80.zip"))
+    for split in ("train", "dev"):
+        for r in all_rows[split]:
+            r["audio"] = specs[r["id"]]
+        mf.save_tsv(all_rows[split], os.path.join(root, f"{split}_st.tsv"))
+    # fairseq-format vocab txt; the whitespace-fallback tokenizer prefixes
+    # each word with the BOW marker, so symbols are "▁word"
+    with open(os.path.join(root, "spm_unigram4096_st.txt"), "w") as f:
+        for w in WORDS:
+            f.write(f"▁{w} 1\n")
+    with open(os.path.join(root, "dev.wav_list"), "w") as f:
+        f.write("\n".join(dev_wavs) + "\n")
+    with open(os.path.join(root, "dev.de"), "w") as f:
+        f.write("\n".join(dev_refs) + "\n")
+    return root
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="simulst_smoke_")
+    data = build_corpus(os.path.join(work, "data"))
+    save = os.path.join(work, "ckpt_cif")
+    py = [sys.executable, "-m"]
+    common_model = [
+        "--override", "embed_dim=64", "--override", "ffn_dim=256",
+        "--override", "encoder_layers=2", "--override", "decoder_layers=2",
+        "--override", "conv_channels=32", "--override", "dropout=0.1",
+        "--override", "compute_dtype=bfloat16",
+    ]
+    run(py + ["simulst_tpu.cli.train", "--data", data, "--task", "st",
+              "--model", "cif", "--loss", "cif",
+              "--lr", "1e-3", "--warmup-updates", "100",
+              "--max-tokens", "6000", "--max-updates", "1000",
+              "--eval-metric", "bleu", "--save-dir", save] + common_model)
+    run(py + ["simulst_tpu.cli.average_checkpoints", "--dir", save,
+              "--n", "2", "--output", os.path.join(save, "checkpoint_avg")])
+    out = os.path.join(work, "simul_out")
+    run(py + ["simulst_tpu.cli.stream_eval",
+              "--source", os.path.join(data, "dev.wav_list"),
+              "--target", os.path.join(data, "dev.de"),
+              "--checkpoint", os.path.join(save, "checkpoint_avg"),
+              "--vocab", os.path.join(data, "spm_unigram4096_st.txt"),
+              "--agent", "cif", "--fused", "--batch-size", "4",
+              "--scan-sessions", "--output", out])
+    scores = json.load(open(os.path.join(out, "scores")))
+    print("scores:", scores)
+    assert scores["BLEU"] > 30.0, f"streaming BLEU too low: {scores}"
+    assert scores["AL"] > 0.0
+    print("SMOKE OK:", work)
+
+
+if __name__ == "__main__":
+    main()

@@ -371,7 +371,7 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
 
     geom = AttnGeom(U=U, seg=seg, lc=lc, rc=rc, max_mem=cfg.max_memory,
                     G=G, num_heads=h)
-    if attn_pallas_supported(geom):
+    if attn_pallas_supported(geom, d):
         rng = next(rngs)
         rate = 0.0 if deterministic or rng is None else cfg.attention_dropout
         seed = (seed_from_rng(rng) if rate > 0.0

@@ -380,10 +380,13 @@ def _attn_bwd(geom, rate, interpret, res, g):
 emformer_grouped_attention.defvjp(_attn_fwd, _attn_bwd)
 
 
-def attn_pallas_supported(geom: AttnGeom) -> bool:
+def attn_pallas_supported(geom: AttnGeom, dim: int) -> bool:
     if os.environ.get("SIMULST_NO_FUSED_ATTN"):
         return False
     if jax.default_backend() == "cpu":
+        return False
+    # lane tiling: the feature dim and per-head dim must fill 128-wide lanes
+    if dim % 128 != 0 or (dim // geom.num_heads) % 8 != 0:
         return False
     # the clamped first-group utterance window [0, lc + G*seg) must stay
     # inside the U utterance rows (out-of-bounds dynamic slices otherwise)

@@ -102,7 +102,7 @@ def test_emformer_forward_uses_kernel_equivalently(monkeypatch):
     ref, _ = em.emformer_forward(params, cfg, x, lengths)
 
     orig = em.emformer_grouped_attention
-    monkeypatch.setattr(em, "attn_pallas_supported", lambda g: True)
+    monkeypatch.setattr(em, "attn_pallas_supported", lambda g, d: True)
     monkeypatch.setattr(
         em, "emformer_grouped_attention",
         lambda q, k, v, l, s, geom, rate: orig(q, k, v, l, s, geom, rate, True))
