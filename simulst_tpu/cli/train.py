@@ -127,6 +127,8 @@ def build_valid_fn(args, model, vocab, valid_ds, batches_fn, lcfg_loss_fn):
                 tokens = _np.asarray(tokens)
                 lengths = _np.asarray(lengths)
                 tgt = _np.asarray(batch["target"])
+                if n_real is None:          # no padding info: all rows real
+                    n_real = tokens.shape[0]
                 for j in range(n_real):
                     hyp_ids = [int(t) for t in tokens[j][: int(lengths[j])]
                                if t != 2]
