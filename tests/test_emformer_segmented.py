@@ -89,3 +89,19 @@ def test_grouped_attention_equals_per_segment():
                                   jnp.asarray(lengths))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4, err_msg=f"G={G}")
+
+
+def test_choose_group_adaptive():
+    """Largest divisor of n that keeps the first group's clamped window
+    inside the utterance; 1 when no grouping applies."""
+    from simulst_tpu.nn.emformer import EmformerConfig, _choose_group
+    cfg = EmformerConfig()          # seg=16, lc=32, G=8
+    assert _choose_group(16, 256, cfg) == 8
+    assert _choose_group(12, 192, cfg) == 6     # 12 % 8 != 0 -> G=6
+    assert _choose_group(4, 64, cfg) == 2       # (4-2)*16 >= 32
+    assert _choose_group(8, 128, cfg) == 4      # (8-8)*16 < 32 -> G=4
+    assert _choose_group(10, 160, cfg) == 5
+    assert _choose_group(47, 750, cfg) == 1     # ragged U != n*seg
+    assert _choose_group(2, 32, cfg) == 1       # no divisor fits the window
+    nomem = EmformerConfig(max_memory=0)
+    assert _choose_group(16, 256, nomem) == 1
