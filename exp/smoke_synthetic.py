@@ -42,7 +42,7 @@ def synth(words, rng):
     return wav.astype(np.float32)
 
 
-def build_corpus(root, n_train=192, n_dev=16):
+def build_corpus(root, n_train=768, n_dev=16):
     rng = np.random.RandomState(0)
     os.makedirs(root, exist_ok=True)
     all_rows = {"train": [], "dev": []}
@@ -70,6 +70,10 @@ def build_corpus(root, n_train=192, n_dev=16):
                     w.writeframes((wav * 32767).astype(np.int16).tobytes())
                 dev_wavs.append(os.path.abspath(path))
                 dev_refs.append(text)
+    train_feats = [feats[r["id"]] for r in all_rows["train"]]
+    allf = np.concatenate(train_feats, axis=0)
+    np.savez(os.path.join(root, "gcmvn.npz"), mean=allf.mean(0),
+             std=allf.std(0) + 1e-8)
     specs = mf.create_feature_zip(feats, os.path.join(root, "fbank80.zip"))
     for split in ("train", "dev"):
         for r in all_rows[split]:
@@ -104,8 +108,12 @@ def main():
         "--override", "conv_channels=32", "--override", "dropout=0.1",
         "--override", "compute_dtype=bfloat16",
     ]
+    # GLOBAL CMVN throughout: streaming agents cannot apply utterance-level
+    # normalization (the future is unknown), so training must use the same
+    # global stats the agent applies (--global-cmvn); mismatched features
+    # collapse the CIF alpha and the streaming session emits nothing
     run(py + ["simulst_tpu.cli.train", "--data", data, "--task", "st",
-              "--model", "cif", "--loss", "cif",
+              "--model", "cif", "--loss", "cif", "--cmvn", "global",
               "--lr", "1e-3", "--warmup-updates", "100",
               "--max-tokens", "6000", "--max-updates", "1000",
               "--eval-metric", "bleu", "--save-dir", save] + common_model)
@@ -118,7 +126,8 @@ def main():
               "--checkpoint", os.path.join(save, "checkpoint_avg"),
               "--vocab", os.path.join(data, "spm_unigram4096_st.txt"),
               "--agent", "cif", "--fused", "--batch-size", "4",
-              "--scan-sessions", "--output", out])
+              "--scan-sessions", "--global-cmvn",
+              os.path.join(data, "gcmvn.npz"), "--output", out])
     scores = json.load(open(os.path.join(out, "scores")))
     print("scores:", scores)
     assert scores["BLEU"] > 30.0, f"streaming BLEU too low: {scores}"

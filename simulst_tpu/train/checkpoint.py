@@ -46,17 +46,50 @@ def conform_tree(template, restored):
     return jnp.asarray(restored, dtype)
 
 
+def _host_restore_args(ckptr, path):
+    """RestoreArgs forcing ARRAY leaves to host numpy.  Orbax's default
+    restore materializes arrays on the default device using sharding info
+    from the checkpoint file; over the remote-TPU tunnel that placement can
+    wedge indefinitely (and no caller needs device placement at restore
+    time — params reach the device through the jitted steps)."""
+    import numpy as np
+    import orbax.checkpoint as ocp
+    meta = ckptr.metadata(path)
+    tree = meta.item_metadata
+    tree = tree.tree if hasattr(tree, "tree") else tree
+
+    def to_args(x):
+        if isinstance(x, dict):
+            return {k: to_args(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return type(x)(to_args(v) for v in x)
+        if type(x).__name__ == "ArrayMetadata":
+            return ocp.RestoreArgs(restore_type=np.ndarray)
+        return ocp.RestoreArgs()
+
+    return to_args(tree)
+
+
 def load_checkpoint(path: str, template=None):
-    """Restore (state, metadata). `template` (a matching pytree) rebuilds the
-    restored tree into the template's structure (lists/namedtuples) and
-    dtypes; without it, the raw orbax tree (nested dicts) is returned."""
+    """Restore (state, metadata) to HOST memory. `template` (a matching
+    pytree) rebuilds the restored tree into the template's structure
+    (lists/namedtuples) and dtypes; without it, the raw orbax tree (nested
+    dicts of numpy arrays) is returned."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    restored = ckptr.restore(path, restore_args=_host_restore_args(ckptr, path))
     state = restored["state"]
     meta = restored.get("metadata") or None
     if template is not None:
         state = conform_tree(template, state)
+    else:
+        # plain host->device transfer (numpy leaves would break eager
+        # indexing with tracers at the use sites)
+        import numpy as np
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            state)
     return state, meta
 
 
