@@ -77,6 +77,15 @@ def main(argv=None):
     if args.global_cmvn:
         stats = np.load(args.global_cmvn)
         gcmvn = (stats["mean"], stats["std"])
+    trained_cmvn = (meta or {}).get("cmvn")
+    if trained_cmvn == "global" and gcmvn is None:
+        print("WARNING: checkpoint was trained with GLOBAL CMVN but no "
+              "--global-cmvn was given — the agent will feed un-normalized "
+              "features and quality will collapse.")
+    elif trained_cmvn == "utterance":
+        print("WARNING: checkpoint was trained with UTTERANCE CMVN, which a "
+              "streaming agent cannot reproduce (the future is unknown). "
+              "Retrain with --cmvn global and pass --global-cmvn here.")
 
     acfg = AgentConfig(overshoot_weight=args.overshoot_weight)
     if args.agent in ("mma", "waitk"):

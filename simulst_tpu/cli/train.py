@@ -291,7 +291,8 @@ def main(argv=None):
                           lambda: make_ds_batches(valid_ds), loss_fn),
                       freeze_until=freeze, update_freq=args.update_freq,
                       metadata={"model": args.model,
-                                "config": cfglib.to_dict(mcfg)})
+                                "config": cfglib.to_dict(mcfg),
+                                "cmvn": args.cmvn})
     if args.resume:
         start = trainer.resume(args.resume)
         print(f"resumed from {args.resume} at update {start}")
@@ -308,6 +309,7 @@ def main(argv=None):
                     state.params, metadata={
                         "model": args.model,
                         "config": cfglib.to_dict(mcfg),
+                        "cmvn": args.cmvn,
                         "step": int(state.step)})
     return state
 
