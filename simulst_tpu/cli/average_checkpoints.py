@@ -8,6 +8,8 @@ from simulst_tpu.train.checkpoint import (average_params, find_best_checkpoints,
 
 
 def main(argv=None):
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--dir", required=True)
     p.add_argument("--n", type=int, default=5)

@@ -200,6 +200,8 @@ def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
 
 
 def main(argv=None):
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--gen-subset", default="tst-COMMON")

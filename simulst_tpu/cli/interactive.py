@@ -24,6 +24,8 @@ from simulst_tpu.train.checkpoint import load_checkpoint
 
 
 def main(argv=None):
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--vocab", required=True)

@@ -25,6 +25,8 @@ from simulst_tpu.train.checkpoint import load_checkpoint
 
 
 def main(argv=None):
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--source", required=True, help="wav_list file")
     p.add_argument("--target", required=True, help="reference text file")

@@ -147,6 +147,8 @@ def build_valid_fn(args, model, vocab, valid_ds, batches_fn, lcfg_loss_fn):
 
 
 def main(argv=None):
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="dir with {split}_st.tsv + vocab")
     p.add_argument("--train-split", default="train")

@@ -48,3 +48,21 @@ def parse_override(s: str):
     except json.JSONDecodeError:
         pass
     return k, v
+
+
+def enable_compile_cache(path: str = None):
+    """Persistent XLA compile cache for every CLI: the production models
+    take minutes to compile through a remote-TPU tunnel, and re-runs with
+    identical geometry (the common case for recipes/sweeps) then start
+    instantly.  Override the location with SIMULST_JAX_CACHE; disable with
+    SIMULST_JAX_CACHE=0."""
+    import os
+    import jax
+    env = os.environ.get("SIMULST_JAX_CACHE")
+    if env == "0":
+        return
+    path = env or path or os.path.expanduser("~/.cache/simulst_tpu/jax")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
