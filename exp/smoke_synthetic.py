@@ -139,6 +139,33 @@ def main():
     print("scores:", scores)
     assert scores["BLEU"] > 20.0, f"streaming BLEU too low: {scores}"
     assert scores["AL"] > 0.0
+
+    if os.environ.get("SMOKE_MMA"):
+        save_m = os.path.join(work, "ckpt_mma")
+        run(py + ["simulst_tpu.cli.train", "--data", data, "--task", "st",
+                  "--model", "mma", "--loss", "mma", "--cmvn", "global",
+                  "--lr", "1e-3", "--warmup-updates", "100",
+                  "--max-tokens", "6000", "--max-updates", "1000",
+                  "--eval-metric", "bleu", "--save-dir", save_m,
+                  "--override", "simul_attn_type=waitk_fixed_pre_decision",
+                  "--override", "waitk_lagging=3",
+                  "--override", "fixed_pre_decision_ratio=8"] + common_model)
+        run(py + ["simulst_tpu.cli.average_checkpoints", "--dir", save_m,
+                  "--n", "2", "--output",
+                  os.path.join(save_m, "checkpoint_avg")])
+        out_m = os.path.join(work, "simul_out_mma")
+        run(py + ["simulst_tpu.cli.stream_eval",
+                  "--source", os.path.join(data, "dev.wav_list"),
+                  "--target", os.path.join(data, "dev.de"),
+                  "--checkpoint", os.path.join(save_m, "checkpoint_avg"),
+                  "--vocab", os.path.join(data, "spm_unigram4096_st.txt"),
+                  "--agent", "mma", "--fused", "--batch-size", "4",
+                  "--scan-sessions", "--global-cmvn",
+                  os.path.join(data, "gcmvn.npz"), "--output", out_m])
+        scores_m = json.load(open(os.path.join(out_m, "scores")))
+        print("mma scores:", scores_m)
+        assert scores_m["BLEU"] > 20.0, f"mma streaming BLEU low: {scores_m}"
+
     print("SMOKE OK:", work)
 
 
