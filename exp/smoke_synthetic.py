@@ -13,8 +13,10 @@ Exits non-zero unless training converges and streaming eval produces a
 sane BLEU on held-out audio (the threshold detects collapse, not quality:
 this corpus/arch scores ~28 streaming at ~730 ms AL when healthy).
 
-Last full run (v5e, 2026-08-17): inline dev BLEU 34.3 best; scanned
+Last full run (v5e, 2026-08-17): CIF inline dev BLEU 34.3 best; scanned
 batched streaming eval BLEU 27.8 @ AL 728 ms / AP 0.92 / DAL 865 ms.
+SMOKE_MMA=1 phase: wait-k MMA inline dev BLEU 66.7 best; streaming
+BLEU 61.4 @ AL 1040 ms.
 Runs to date caught three real bugs: a missing lane-alignment gate on the
 attention kernel, orbax device-restore wedging through the tunnel, and
 the utterance-CMVN train/stream mismatch.

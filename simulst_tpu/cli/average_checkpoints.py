@@ -28,7 +28,7 @@ def main(argv=None):
     trees = []
     meta = None
     for path in paths:
-        t, m = load_checkpoint(path)
+        t, m = load_checkpoint(path, to_device=False)
         trees.append(t)
         meta = meta or m
     avg = average_params(trees)

@@ -70,11 +70,13 @@ def _host_restore_args(ckptr, path):
     return to_args(tree)
 
 
-def load_checkpoint(path: str, template=None):
+def load_checkpoint(path: str, template=None, to_device: bool = True):
     """Restore (state, metadata) to HOST memory. `template` (a matching
     pytree) rebuilds the restored tree into the template's structure
-    (lists/namedtuples) and dtypes; without it, the raw orbax tree (nested
-    dicts of numpy arrays) is returned."""
+    (lists/namedtuples) and dtypes; without it the raw orbax tree (nested
+    dicts) is returned, converted to jax arrays unless to_device=False
+    (host-only consumers like checkpoint averaging avoid hundreds of eager
+    per-leaf device ops through the tunnel)."""
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     path = os.path.abspath(path)
@@ -83,7 +85,7 @@ def load_checkpoint(path: str, template=None):
     meta = restored.get("metadata") or None
     if template is not None:
         state = conform_tree(template, state)
-    else:
+    elif to_device:
         # plain host->device transfer (numpy leaves would break eager
         # indexing with tracers at the use sites)
         import numpy as np
@@ -116,11 +118,16 @@ def find_best_checkpoints(directory: str, n: int = 5,
 
 
 def average_params(param_trees: List[Any]):
-    """Uniform average of parameter pytrees (checkpoint averaging)."""
+    """Uniform average of parameter pytrees (checkpoint averaging).
+    Runs on whatever the leaves are — pass host numpy trees
+    (load_checkpoint(..., to_device=False)) to stay off the device."""
+    import numpy as np
     n = len(param_trees)
     assert n > 0
     return jax.tree.map(
-        lambda *xs: sum(x.astype(jnp.float32) for x in xs) / n, *param_trees)
+        lambda *xs: sum(np.asarray(x, np.float32) if isinstance(x, np.ndarray)
+                        else x.astype(jnp.float32) for x in xs) / n,
+        *param_trees)
 
 
 def load_pretrained_component(params, component_params, component: str):
