@@ -5,7 +5,7 @@ set -euo pipefail
 DATA=${DATA:-DATA/en-de}
 SAVE=${SAVE:-checkpoints/asr_pretrain}
 
-python -m simulst_tpu.cli.train \
+python -m simulst_tpu.cli.train --cmvn global \
     --data "$DATA" --task asr --model s2t_emformer --loss joint_ctc \
     --override ctc_layer=true \
     --loss-override ctc_factor=1.0 --loss-override label_smoothing=0.1 \

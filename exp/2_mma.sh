@@ -7,7 +7,7 @@ ASR=${ASR:-checkpoints/asr_pretrain/checkpoint_last}
 SAVE=${SAVE:-checkpoints/mma}
 LAT=${LAT:-0.1}   # latency_avg_weight sweep knob
 
-python -m simulst_tpu.cli.train \
+python -m simulst_tpu.cli.train --cmvn global \
     --data "$DATA" --task st --model mma --loss mma \
     --override simul_attn_type=infinite_lookback_fixed_pre_decision \
     --override fixed_pre_decision_ratio=8 --override mass_preservation=true \

@@ -9,7 +9,7 @@ BASE=${BASE:-checkpoints/mma_lat0_0/checkpoint_avg}
 LATVAR=${LATVAR:-0.1}
 SAVE=${SAVE:-checkpoints/mma_lat${LATVAR//./_}}
 
-python -m simulst_tpu.cli.train \
+python -m simulst_tpu.cli.train --cmvn global \
     --data "$DATA" --task st --model mma --loss mma \
     --override simul_attn_type=hard_aligned_fixed_pre_decision \
     --loss-override latency_factor="$LATVAR" \

@@ -5,7 +5,7 @@ DATA=${DATA:-DATA/en-de}
 ASR=${ASR:-checkpoints/asr_pretrain/checkpoint_last}
 SAVE=${SAVE:-checkpoints/cif}
 
-python -m simulst_tpu.cli.train \
+python -m simulst_tpu.cli.train --cmvn global \
     --data "$DATA" --task st --model cif --loss cif \
     --override cif_beta=1.0 --override ctc_layer=true \
     --loss-override ctc_factor=0.3 --loss-override quant_factor=1.0 \

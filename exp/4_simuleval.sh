@@ -44,10 +44,12 @@ run_cell() {  # agent ckpt split outdir extra...
         echo "skip $split (no $DATA/$split.wav_list)"; return
     fi
     mkdir -p "$outdir"
+    local gc=()
+    [ -f "$DATA/gcmvn.npz" ] && gc=(--global-cmvn "$DATA/gcmvn.npz")
     python -m simulst_tpu.cli.stream_eval \
         --source "$DATA/$split.wav_list" --target "$DATA/$split.$TGT" \
         --checkpoint "$ckpt" --vocab "$VOCAB" --agent "$agent" \
-        --output "$outdir" $EXTRA "$@"
+        "${gc[@]}" --output "$outdir" $EXTRA "$@"
 }
 
 read -ra CIF_ARR <<< "$CIFS"

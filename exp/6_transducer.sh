@@ -7,7 +7,7 @@ DATA=${DATA:-DATA/en-de}
 ASR=${ASR:-checkpoints/asr_pretrain/checkpoint_last}
 SAVE=${SAVE:-checkpoints/transducer}
 
-python -m simulst_tpu.cli.train \
+python -m simulst_tpu.cli.train --cmvn global \
     --data "$DATA" --task st --model transducer --loss rnnt \
     --loss-override fastemit_lambda=0.01 --loss-override offline_factor=1.0 \
     --load-pretrained-encoder-from "$ASR" \
