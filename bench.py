@@ -278,6 +278,8 @@ def bench_train_step(dtype_name="bfloat16"):
 
 
 def main():
+    from simulst_tpu.config import enable_compile_cache
+    enable_compile_cache()
     dtype = jnp.dtype(os.environ.get("SIMULST_BENCH_DTYPE", "bfloat16"))
     chunk_ms = 640.0  # segment_length(64) * 10ms frame shift
 
