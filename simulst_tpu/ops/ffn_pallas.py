@@ -69,26 +69,32 @@ def _horner(t, coefs):
     return acc
 
 
-def _odd_poly(uf, pq, clamp_val):
-    """u * P(u^2)/Q(u^2) for |u| <= 6, +-clamp_val outside (fp32 in/out)."""
+def _odd_poly(uf, pq, clamp_val, exact_div=False):
+    """u * P(u^2)/Q(u^2) for |u| <= 6, +-clamp_val outside (fp32 in/out).
+    Compiled kernels use the VPU's approximate reciprocal (~2^-14 rel err,
+    far below bf16 resolution and the fits' own 1e-5-level error; worth
+    ~2 ms/step); interpret mode (exact_div) divides normally — its
+    reciprocal emulation is unreliable."""
     p_co, q_co = pq
-    t = uf * uf
-    f = _horner(jnp.minimum(t, 36.0), p_co) / _horner(jnp.minimum(t, 36.0), q_co)
-    return jnp.where(t > 36.0, jnp.sign(uf) * clamp_val, uf * f)
+    t = jnp.minimum(uf * uf, 36.0)
+    q = _horner(t, q_co)
+    f = _horner(t, p_co) * (1.0 / q if exact_div
+                            else pl.reciprocal(q, approx=True))
+    return jnp.where(uf * uf > 36.0, jnp.sign(uf) * clamp_val, uf * f)
 
 
-def _act_pair(name: str):
+def _act_pair(name: str, exact_div: bool = False):
     """(f, df) for the supported activations; f/df take and return fp32
     (the kernels keep the hidden pre-activation in fp32 to avoid cast
     passes).  gelu tracks the exact erf form to ~2e-5 via the rationals
     above."""
     if name == "gelu":
         def f(uf):
-            s = _odd_poly(uf, (_GELU_S_P, _GELU_S_Q), 0.5)   # Phi(u) - 0.5
+            s = _odd_poly(uf, (_GELU_S_P, _GELU_S_Q), 0.5, exact_div)
             return uf * (0.5 + s)
 
         def df(uf):
-            return 0.5 + _odd_poly(uf, (_GELU_D_P, _GELU_D_Q), 0.5)
+            return 0.5 + _odd_poly(uf, (_GELU_D_P, _GELU_D_Q), 0.5, exact_div)
 
         return f, df
     if name == "relu":
@@ -107,9 +113,9 @@ def _mask(shape, rate: float):
     return bits < _keep_threshold(rate)
 
 
-def _fwd_kernel(activation, act_rate, out_rate,
+def _fwd_kernel(activation, act_rate, out_rate, exact_div,
                 seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
-    f, _ = _act_pair(activation)
+    f, _ = _act_pair(activation, exact_div)
     dtype = x_ref.dtype
     u = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     u = u + b1_ref[:].astype(jnp.float32)          # fp32 end-to-end
@@ -127,10 +133,10 @@ def _fwd_kernel(activation, act_rate, out_rate,
     y_ref[:] = y.astype(dtype)
 
 
-def _bwd_kernel(activation, act_rate, out_rate,
+def _bwd_kernel(activation, act_rate, out_rate, exact_div,
                 seed_ref, x_ref, w1_ref, b1_ref, w2_ref, dy_ref,
                 dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
-    f, df = _act_pair(activation)
+    f, df = _act_pair(activation, exact_div)
     i = pl.program_id(0)
     dtype = x_ref.dtype
 
@@ -212,7 +218,8 @@ def _fwd_call(x2, w1, b1, w2, b2, seed, activation, act_rate, out_rate,
     xp = _pad_rows(x2, n_pad)
     grid = ((n + n_pad) // ROW_TILE,)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, activation, act_rate, out_rate),
+        functools.partial(_fwd_kernel, activation, act_rate, out_rate,
+                          bool(interpret)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -240,7 +247,8 @@ def _bwd_call(x2, w1, b1, w2, dy2, seed, activation, act_rate, out_rate,
     dyp = _pad_rows(dy2, n_pad)         # zero rows -> zero grad contributions
     grid = ((n + n_pad) // ROW_TILE,)
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, activation, act_rate, out_rate),
+        functools.partial(_bwd_kernel, activation, act_rate, out_rate,
+                          bool(interpret)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
