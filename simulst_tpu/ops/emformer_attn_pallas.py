@@ -162,8 +162,12 @@ def _load_ctx(ref, geom: AttnGeom, mem_start, rc_start, utt_start):
     return jnp.concatenate([mem, rcb, utt], axis=0)
 
 
-def _probs_fwd(geom: AttnGeom, rate, seed_ref, q, k_ctx, mask, tile):
-    """Per-head fp32 probs (h, nq, ctx) and dropped probs (dtype)."""
+def _probs_fwd(geom: AttnGeom, rate, seed_ref, q, k_ctx, mask, tile,
+               exact_div=False):
+    """Per-head fp32 probs (h, nq, ctx) and dropped probs (dtype).
+    Compiled kernels normalize with the VPU's approximate reciprocal
+    (~2^-14 rel err, below bf16 resolution); interpret mode divides
+    exactly (its reciprocal emulation is unreliable)."""
     h = geom.num_heads
     hd = q.shape[-1] // h
     scale = np.float32(hd ** -0.5)
@@ -177,7 +181,9 @@ def _probs_fwd(geom: AttnGeom, rate, seed_ref, q, k_ctx, mask, tile):
         s = s + mask
         s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
         e = jnp.exp(s)
-        probs.append(e / e.sum(axis=-1, keepdims=True))
+        denom = e.sum(axis=-1, keepdims=True)
+        probs.append(e / denom if exact_div
+                     else e * pl.reciprocal(denom, approx=True))
     p = jnp.stack(probs, axis=0)                            # (h, nq, ctx) f32
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0], tile)
@@ -190,8 +196,8 @@ def _probs_fwd(geom: AttnGeom, rate, seed_ref, q, k_ctx, mask, tile):
     return p, pd
 
 
-def _fwd_kernel(geom: AttnGeom, rate, seed_ref, len_ref, q_ref, k_ref, v_ref,
-                o_ref):
+def _fwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
+                k_ref, v_ref, o_ref):
     b, g = pl.program_id(0), pl.program_id(1)
     tile = b * geom.ng + g
     dtype = q_ref.dtype
@@ -204,7 +210,7 @@ def _fwd_kernel(geom: AttnGeom, rate, seed_ref, len_ref, q_ref, k_ref, v_ref,
     mask = _masks(geom, g, mem_start, rc_start, utt_start, len_ref[b])
     q = q_ref[0, 0]
 
-    _, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile)
+    _, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile, exact_div)
     outs = []
     for hh in range(h):
         vh = v_ctx[:, hh * hd:(hh + 1) * hd]
@@ -213,8 +219,8 @@ def _fwd_kernel(geom: AttnGeom, rate, seed_ref, len_ref, q_ref, k_ref, v_ref,
     o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
 
 
-def _bwd_kernel(geom: AttnGeom, rate, seed_ref, len_ref, q_ref, k_ref, v_ref,
-                do_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
+                k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     b, g = pl.program_id(0), pl.program_id(1)
     tile = b * geom.ng + g
     dtype = q_ref.dtype
@@ -229,7 +235,7 @@ def _bwd_kernel(geom: AttnGeom, rate, seed_ref, len_ref, q_ref, k_ref, v_ref,
     q = q_ref[0, 0]
     do = do_ref[0, 0]
 
-    p, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile)
+    p, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile, exact_div)
     if rate > 0.0:
         # dropout vjp: the mask positions are where pd survived (p>0 there)
         drop_scale = jnp.where(pd != 0.0, np.float32(1.0 / (1.0 - rate)), 0.0)
@@ -294,7 +300,7 @@ def _fwd_call(q3, k, v, lengths, seed, geom: AttnGeom, rate, interpret):
     k, v = _pad_tk(k), _pad_tk(v)
     tk = k.shape[1]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, geom, rate),
+        functools.partial(_fwd_kernel, geom, rate, bool(interpret)),
         grid=(b, ng),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -319,7 +325,7 @@ def _bwd_call(q3, k, v, lengths, seed, do, geom: AttnGeom, rate, interpret):
     k, v = _pad_tk(k), _pad_tk(v)
     tk = k.shape[1]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, geom, rate),
+        functools.partial(_bwd_kernel, geom, rate, bool(interpret)),
         grid=(b, ng),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
