@@ -50,8 +50,13 @@ def main(argv=None):
                         "chunk incl. all WRITEs)")
     p.add_argument("--scan-sessions", action="store_true",
                    help="run each utterance bucket's whole chunk schedule in "
-                        "one lax.scan program (3 dispatches/bucket); _CA "
-                        "latency becomes a conservative upper bound")
+                        "one lax.scan program (3 dispatches/bucket; requires "
+                        "--fused); *_CA metrics are recomputed by a per-chunk "
+                        "stepping pass unless --no-ca-pass")
+    p.add_argument("--no-ca-pass", action="store_true",
+                   help="with --scan-sessions: skip the extra per-chunk "
+                        "stepping pass; *_CA then inflates to a whole-"
+                        "session upper bound (stamped mode='scan')")
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 streams B utterances per device call (requires "
                         "--fused; chunk-count-bucketed lock-step batching)")
@@ -123,11 +128,24 @@ def main(argv=None):
 
     os.makedirs(args.output, exist_ok=True)
     log = os.path.join(args.output, "instances.log")
-    if args.batch_size > 1:
-        assert args.fused, "--batch-size > 1 requires --fused"
+    if args.scan_sessions or args.batch_size > 1:
+        # --scan-sessions with the default --batch-size 1 routes through the
+        # batched evaluator at B=1 rather than being silently ignored
+        assert args.fused, \
+            "--scan-sessions / --batch-size > 1 require --fused"
         scores = evaluate_batched(agent, utts, refs,
                                   batch_size=args.batch_size, log_path=log,
                                   scan=args.scan_sessions)
+        if args.scan_sessions and not args.no_ca_pass:
+            # scanned sessions can't time individual chunks, so *_CA from
+            # the scan is a whole-session upper bound; re-run per-chunk
+            # stepping (still batched/fused) for honest _CA numbers
+            from simulst_tpu.stream.evaluator import merge_honest_ca
+            ca = evaluate_batched(
+                agent, utts, refs, batch_size=args.batch_size,
+                log_path=os.path.join(args.output, "instances_ca.log"),
+                scan=False)
+            scores = merge_honest_ca(scores, ca)
     else:
         scores = evaluate(agent, utts, refs, log_path=log)
     with open(os.path.join(args.output, "scores"), "w") as f:

@@ -58,18 +58,27 @@ def bleu_stats(refs: List[str], hyps: List[str], order: int = 4):
 
 
 def bleu_from_stats(counts, totals, sys_len, ref_len, smooth: str = "exp"):
+    """BLEU from summable stats, matching sacrebleu's compute_bleu with its
+    default smooth_method='exp' (mteval-style: each zero-count order doubles
+    an accumulator m and scores 1/(m * total))."""
     import math
     precisions = []
+    smooth_mteval = 1.0
     for n in range(4):
-        c, t = counts[n], totals[n]
-        if smooth == "exp" and c == 0:
-            c = 0.5 ** (n)  # sacrebleu exp smoothing style floor
-            c = max(c, 1e-9)
+        c, t = int(counts[n]), int(totals[n])
         if t == 0:
+            # sacrebleu leaves the precision at 0 (my_log -> -inf): score 0
             return 0.0
-        precisions.append(max(c, 1e-9) / t)
+        if c == 0:
+            if smooth != "exp":
+                return 0.0
+            smooth_mteval *= 2.0
+            precisions.append(1.0 / (smooth_mteval * t))
+        else:
+            precisions.append(c / t)
     log_p = sum(math.log(p) for p in precisions) / 4
-    bp = 1.0 if sys_len > ref_len else math.exp(1 - ref_len / max(sys_len, 1))
+    bp = 1.0 if sys_len > ref_len else (
+        math.exp(1 - ref_len / sys_len) if sys_len > 0 else 0.0)
     return 100.0 * bp * math.exp(log_p)
 
 

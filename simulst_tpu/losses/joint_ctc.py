@@ -60,6 +60,27 @@ def smoothed_ctc_loss(ctc_logits, encoder_lengths, target, cfg: JointCTCConfig):
     return (1.0 - cfg.label_smoothing) * nll + eps_i * smooth, nll
 
 
+def ctc_greedy_recall_precision(pred, target, vocab_size, cfg: JointCTCConfig,
+                                eps: float = 1e-8):
+    """Bag-of-tokens recall/precision of the per-frame greedy CTC path.
+
+    Formula-matched to the reference's `calc_recall_precision`
+    (/root/reference/codebase/criterion/joint_ctc_criterion.py:24-48):
+    match = sum_v min(count_v(target), count_v(pred)) over the full vocab
+    (pred keeps repeats and blanks — no collapse; blank/pad cancel in the
+    min because target has no blanks and pred-pad vs target-pad both count),
+    recall = match / #non-pad target tokens,
+    precision = match / #non-blank predicted frames.
+    Returns (sum-over-batch recall, sum-over-batch precision).
+    """
+    count = lambda toks: jax.vmap(
+        lambda t: jnp.bincount(t, length=vocab_size))(toks)
+    match = jnp.minimum(count(pred), count(target)).sum(-1)
+    recall = match / ((target != cfg.padding_idx).sum(-1) + eps)
+    precision = match / ((pred != cfg.blank_idx).sum(-1) + eps)
+    return recall.sum(), precision.sum()
+
+
 def joint_ctc_loss(logits, extra, target, cfg: JointCTCConfig,
                    ctc_target=None):
     """logits: (B, T, V) decoder output; extra: dict with ctc_logits (or None)
@@ -77,9 +98,14 @@ def joint_ctc_loss(logits, extra, target, cfg: JointCTCConfig,
             target if ctc_target is None else ctc_target, cfg)
         loss = loss + cfg.ctc_factor * closs
         metrics["ctc_loss"] = closs
-        # blank rate of the greedy CTC path (reference :92-105)
+        # greedy-CTC-path health metrics (reference :92-105)
         pred = extra["ctc_logits"].argmax(-1)
         metrics["blank_rate"] = (pred == cfg.blank_idx).mean(axis=-1).sum()
+        rec, prec = ctc_greedy_recall_precision(
+            pred, target if ctc_target is None else ctc_target,
+            extra["ctc_logits"].shape[-1], cfg)
+        metrics["ctc_recall"] = rec
+        metrics["ctc_precision"] = prec
     ntokens = (target != cfg.padding_idx).sum()
     nsentences = target.shape[0]
     sample_size = nsentences if cfg.sentence_avg else ntokens

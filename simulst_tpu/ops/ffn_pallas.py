@@ -296,17 +296,19 @@ def _ffn_fwd(x, w1, b1, w2, b2, seed, activation, act_rate, out_rate,
              interpret):
     y = fused_ffn(x, w1, b1, w2, b2, seed, activation, act_rate, out_rate,
                   interpret)
-    return y, (x, w1, b1, w2, seed)
+    # 0-sized carrier keeps b2's dtype for the cotangent cast (residuals
+    # must be jax types, not dtypes)
+    return y, (x, w1, b1, w2, jnp.zeros((0,), b2.dtype), seed)
 
 
 def _ffn_bwd(activation, act_rate, out_rate, interpret, res, gy):
-    x, w1, b1, w2, seed = res
+    x, w1, b1, w2, b2_proto, seed = res
     shape = x.shape
     dx, dw1, db1, dw2, db2 = _bwd_call(
         x.reshape(-1, shape[-1]), w1, b1, w2, gy.reshape(-1, shape[-1]),
         seed, activation, act_rate, out_rate, interpret)
     return (dx.reshape(shape), dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(w2.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2_proto.dtype),
             np.zeros(seed.shape, jax.dtypes.float0))
 
 

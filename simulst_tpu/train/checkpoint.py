@@ -63,7 +63,11 @@ def _host_restore_args(ckptr, path):
             return {k: to_args(v) for k, v in x.items()}
         if isinstance(x, (list, tuple)):
             return type(x)(to_args(v) for v in x)
-        if type(x).__name__ == "ArrayMetadata":
+        # array leaves must restore to host numpy — a default RestoreArgs
+        # fallback here would reintroduce the device-placement wedge — so
+        # match structurally (shape+dtype attrs) rather than by orbax's
+        # exact metadata class name, which has been renamed across versions
+        if hasattr(x, "shape") and hasattr(x, "dtype"):
             return ocp.RestoreArgs(restore_type=np.ndarray)
         return ocp.RestoreArgs()
 

@@ -45,6 +45,37 @@ class LoopConfig:
     profile_dir: Optional[str] = None
 
 
+# criterion metrics accumulated as per-sentence sums (normalized by
+# nsentences at log time, matching the reference's reduce_metrics,
+# e.g. joint_ctc_criterion.py:195-199); everything else unrecognized is
+# treated as a sample_size-normalized loss term.
+_PER_SENTENCE = {"blank_rate", "ctc_recall", "ctc_precision"}
+_RAW = {"loss", "gnorm", "skipped", "sample_size", "ntokens", "nsentences"}
+
+
+def summarize_metrics(metrics: Dict) -> Dict[str, float]:
+    """Turn a summed metrics dict into a normalized log record: losses per
+    sample_size, nll per token, per-sentence stats per sentence, plus
+    derived CTC F1 (reference joint_ctc_criterion.py:201-214)."""
+    m = {k: float(v) for k, v in metrics.items()}
+    denom = max(m.get("sample_size", 1.0), 1.0)
+    nsent = max(m.get("nsentences", 1.0), 1.0)
+    out = {}
+    for k, v in m.items():
+        if k in _RAW:
+            continue
+        elif k == "nll_loss":
+            out[k] = v / max(m.get("ntokens", denom), 1.0)
+        elif k in _PER_SENTENCE:
+            out[k] = v / nsent
+        else:
+            out[k] = v / denom
+    r, p = out.get("ctc_recall"), out.get("ctc_precision")
+    if r is not None and p is not None:
+        out["ctc_f1"] = round(2 * p * r / (p + r), 3) if (p + r) > 0 else 0.0
+    return out
+
+
 def _make_sinks(cfg: LoopConfig):
     """Extra metric sinks behind the jsonl log: tensorboard and/or wandb."""
     sinks = []
@@ -198,7 +229,8 @@ class Trainer:
                     rec = {"epoch": epoch, "update": updates,
                            "loss": m["loss"] / denom,
                            "gnorm": m.get("gnorm", 0.0),
-                           "ups": updates / (time.time() - t0)}
+                           "ups": updates / (time.time() - t0),
+                           **summarize_metrics(metrics)}
                     if m.get("skipped"):
                         rec["skipped"] = m["skipped"]
                     self.log(rec)
