@@ -26,8 +26,15 @@ from simulst_tpu.nn import transformer as tfm
 from simulst_tpu.train.checkpoint import load_checkpoint
 
 
-def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
-                     overshoot_weight: float = 1.0):
+def _run_search(step_fn, dstate, reorder_fn, b, beam_cfg: BeamConfig):
+    if beam_cfg.beam_size == 1:
+        return greedy_decode(step_fn, dstate, b, beam_cfg)
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+    return res.tokens[:, 0], res.lengths[:, 0]
+
+
+def _build_cif(model, params, batch, beam_cfg: BeamConfig,
+               overshoot_weight: float = 1.0):
     """Offline CIF decoding: fire from alpha (no teacher forcing), then
     greedy/beam over the position-aligned CIF features (the reference's
     fairseq-generate path for cif_transformer, eval/eval_cif.sh)."""
@@ -62,13 +69,17 @@ def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
             cross_caches=tuple(re(c) for c in state.cross_caches),
             step=state.step[idx])
 
-    if beam == 1:
-        return greedy_decode(step_fn, dstate, b, beam_cfg)
-    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
-    return res.tokens[:, 0], res.lengths[:, 0]
+    return step_fn, dstate, reorder_fn
 
 
-def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
+def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
+                     overshoot_weight: float = 1.0):
+    return _run_search(*_build_cif(model, params, batch, beam_cfg,
+                                   overshoot_weight),
+                       batch["feats"].shape[0], beam_cfg)
+
+
+def _build_mma(model, params, batch, beam_cfg: BeamConfig):
     """Offline MMA decoding (online=False: wait-k clipped to source end, no
     early READ returns — fairseq SequenceGenerator semantics)."""
     from simulst_tpu.models import mma as mma_mod
@@ -99,10 +110,12 @@ def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
             monotonic=tuple(rm(m) for m in state.monotonic),
             step=state.step[idx])
 
-    if beam == 1:
-        return greedy_decode(step_fn, dstate, b, beam_cfg)
-    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
-    return res.tokens[:, 0], res.lengths[:, 0]
+    return step_fn, dstate, reorder_fn
+
+
+def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
+    return _run_search(*_build_mma(model, params, batch, beam_cfg),
+                       batch["feats"].shape[0], beam_cfg)
 
 
 def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
@@ -143,6 +156,11 @@ def decode_batch(model, params, batch, beam_cfg: BeamConfig):
         return decode_batch_mma(model, params, batch, beam_cfg)
     if isinstance(model, TransducerModel):
         return decode_batch_transducer(model, params, batch, beam_cfg)
+    return _run_search(*_build_std(model, params, batch, beam_cfg),
+                       batch["feats"].shape[0], beam_cfg)
+
+
+def _build_std(model, params, batch, beam_cfg: BeamConfig):
     cfg = model.cfg
     enc = s2t.encoder_forward(params["encoder"], cfg,
                               jnp.asarray(batch["feats"]),
@@ -164,14 +182,10 @@ def decode_batch(model, params, batch, beam_cfg: BeamConfig):
         return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
                                 step=state.step[idx])
 
-    if beam == 1:
-        tokens, lengths = greedy_decode(step_fn, dstate, b, beam_cfg)
-        return tokens, lengths
-    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
-    return res.tokens[:, 0], res.lengths[:, 0]
+    return step_fn, dstate, reorder_fn
 
 
-def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
+def _build_mt(model, params, batch, beam_cfg: BeamConfig):
     """Text-to-text decoding for the MT teacher (seq-KD generation)."""
     from simulst_tpu.models.mt_transformer import text_encoder_forward
     cfg = model.cfg
@@ -193,10 +207,60 @@ def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
         return tfm.DecoderState(caches=tuple(re(c) for c in state.caches),
                                 step=state.step[idx])
 
-    if beam == 1:
-        return greedy_decode(step_fn, dstate, b, beam_cfg)
-    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
-    return res.tokens[:, 0], res.lengths[:, 0]
+    return step_fn, dstate, reorder_fn
+
+
+def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
+    return _run_search(*_build_mt(model, params, batch, beam_cfg),
+                       batch["src_tokens"].shape[0], beam_cfg)
+
+
+def build_ensemble(builders):
+    """Combine per-model (step_fn, state, reorder_fn) triples into one:
+    per-step log-probs are probability-averaged across models
+    (logsumexp - log N), fairseq EnsembleModel semantics
+    (/root/reference/eval/generate.py:96-103 loads colon-separated
+    ensembles; fairseq's SequenceGenerator averages per-step probs).
+    log_softmax is idempotent, so downstream greedy/beam normalization
+    of the returned averaged log-probs is a no-op."""
+    step_fns, states, reorder_fns = zip(*builders)
+
+    def step_fn(states, tokens):
+        outs = [f(s, tokens) for f, s in zip(step_fns, states)]
+        lps = jnp.stack([jax.nn.log_softmax(o[0].astype(jnp.float32), -1)
+                         for o in outs])
+        avg = jax.nn.logsumexp(lps, axis=0) - jnp.log(lps.shape[0])
+        return avg, tuple(o[1] for o in outs)
+
+    def reorder_fn(states, idx):
+        return tuple(r(s, idx) for r, s in zip(reorder_fns, states))
+
+    return step_fn, tuple(states), reorder_fn
+
+
+def decode_batch_ensemble(models, params_list, batch, beam_cfg: BeamConfig,
+                          task: str = "st"):
+    """Ensemble decoding over N same-vocab checkpoints (model families may
+    mix, except the transducer's greedy lattice path)."""
+    from simulst_tpu.models.cif import CIFModel
+    from simulst_tpu.models.mma import MMAModel
+    from simulst_tpu.models.transducer import TransducerModel
+    builders = []
+    for model, params in zip(models, params_list):
+        if isinstance(model, TransducerModel):
+            raise ValueError("ensemble decoding is not defined for the "
+                             "transducer's greedy emit-scan path")
+        if task == "mt":
+            builders.append(_build_mt(model, params, batch, beam_cfg))
+        elif isinstance(model, CIFModel):
+            builders.append(_build_cif(model, params, batch, beam_cfg))
+        elif isinstance(model, MMAModel):
+            builders.append(_build_mma(model, params, batch, beam_cfg))
+        else:
+            builders.append(_build_std(model, params, batch, beam_cfg))
+    step_fn, state, reorder_fn = build_ensemble(builders)
+    b = (batch["src_tokens"] if task == "mt" else batch["feats"]).shape[0]
+    return _run_search(step_fn, state, reorder_fn, b, beam_cfg)
 
 
 def main(argv=None):
@@ -226,15 +290,20 @@ def main(argv=None):
     vocab = (Vocabulary.from_spm(vocab_path) if vocab_path.endswith(".model")
              else Vocabulary.from_txt(vocab_path))
 
-    restored, meta = load_checkpoint(args.checkpoint)
-    model_name = args.model or (meta or {}).get("model", "s2t_emformer")
-    model_cls = get_model(model_name)
+    # colon-separated checkpoint list = ensemble decoding (per-step
+    # probability averaging), reference eval/generate.py:96-103
     overrides = dict(cfglib.parse_override(s) for s in args.override)
-    base = ((meta or {}).get("config") or {})
-    mcfg = cfglib.from_dict(model_cls.Config, {**base, **overrides,
-                                               "vocab_size": len(vocab)})
-    model = model_cls(mcfg)
-    params = restored
+    models, params_list = [], []
+    for ckpt in args.checkpoint.split(":"):
+        restored, meta = load_checkpoint(ckpt)
+        model_name = args.model or (meta or {}).get("model", "s2t_emformer")
+        model_cls = get_model(model_name)
+        base = ((meta or {}).get("config") or {})
+        mcfg = cfglib.from_dict(model_cls.Config, {**base, **overrides,
+                                                   "vocab_size": len(vocab)})
+        models.append(model_cls(mcfg))
+        params_list.append(restored)
+    model, params = models[0], params_list[0]
 
     target_field = "src_text" if args.task == "asr" else "tgt_text"
     rows = load_tsv(os.path.join(args.data, f"{args.gen_subset}_st.tsv"))
@@ -260,7 +329,11 @@ def main(argv=None):
     id2row = {r["id"]: i for i, r in enumerate(rows)}
     for batch in batches:
         n_real = batch["n_real"]
-        if args.task == "mt":
+        if len(models) > 1:
+            tokens, lengths = decode_batch_ensemble(models, params_list,
+                                                    batch, beam_cfg,
+                                                    task=args.task)
+        elif args.task == "mt":
             tokens, lengths = decode_batch_mt(model, params, batch, beam_cfg)
         else:
             tokens, lengths = decode_batch(model, params, batch, beam_cfg)
