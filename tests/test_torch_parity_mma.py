@@ -1,0 +1,330 @@
+"""Model-level cross-parity vs the reference's monotonic-attention MODULES.
+
+Round-2 verdict item #1: execute the reference's own `MonotonicAttention` /
+`MonotonicInfiniteLookbackAttention` / `WaitKAttention` classes and the
+`fixed_pre_decision` pooling wrapper
+(/root/reference/codebase/modules/monotonic_multihead_attention.py:29-595,
+fixed_pre_decision.py:17-190) with fairseq's MultiheadAttention stubbed to
+its used surface (projections + scaling + incremental-state accessors), and
+assert against our mma module:
+
+  (a) train-path attn output and p_choose/alpha/beta match,
+  (b) the infer-path READ/WRITE decision sequence, head_step trajectory AND
+      closed-loop emitted tokens match step-for-step, replicating the
+      reference decoder's retry-after-READ protocol (mma_model.py:156-220:
+      head_step persists across READ retries, clear_cache decrements the
+      waitk tgt_len counter, `online=False` forces WRITE).
+
+Weights are exported from the real torch modules through the converter's
+monotonic branch (compat/fairseq_converter.py convert_decoder_layer
+cross_attn="mma") so a broken converter mapping cannot pass.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from simulst_tpu.compat import fairseq_converter as conv
+from simulst_tpu.models import mma as jmma
+# reuse the stub installation + module loader from the round-2 parity file
+from tests.test_torch_parity import _load, ref  # noqa: F401
+
+REF = "/root/reference/codebase"
+
+D, H = 16, 2   # embed_dim, heads
+
+
+class MultiheadAttentionStub(torch.nn.Module):
+    """The slice of fairseq.modules.MultiheadAttention the reference's
+    MonotonicAttention actually uses (monotonic_multihead_attention.py:37-63,
+    88-130, 399-421): the four projections, head geometry, scaling, and the
+    with_incremental_state accessors (namespaced so the agent-level
+    `incremental_state["online"]` flag does not collide)."""
+
+    def __init__(self, embed_dim, num_heads, kdim=None, vdim=None,
+                 dropout=0.0, encoder_decoder_attention=False, **kw):
+        super().__init__()
+        self.embed_dim = embed_dim
+        self.kdim = kdim if kdim is not None else embed_dim
+        self.vdim = vdim if vdim is not None else embed_dim
+        self.qkv_same_dim = (self.kdim == embed_dim
+                             and self.vdim == embed_dim)
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.scaling = self.head_dim ** -0.5
+        self.encoder_decoder_attention = encoder_decoder_attention
+        self.k_proj = torch.nn.Linear(self.kdim, embed_dim, bias=True)
+        self.v_proj = torch.nn.Linear(self.vdim, embed_dim, bias=True)
+        self.q_proj = torch.nn.Linear(embed_dim, embed_dim, bias=True)
+        self.out_proj = torch.nn.Linear(embed_dim, embed_dim, bias=True)
+
+    def get_incremental_state(self, incremental_state, key):
+        if incremental_state is None:
+            return None
+        return incremental_state.get(f"attn_state.{key}")
+
+    def set_incremental_state(self, incremental_state, key, value):
+        if incremental_state is not None:
+            incremental_state[f"attn_state.{key}"] = value
+        return incremental_state
+
+
+@pytest.fixture(scope="module")
+def refmma(ref):
+    """Load the reference's monotonic attention modules as real submodules
+    of a faked `codebase.modules` package (so `from . import
+    register_monotonic_attention` and the relative import in
+    fixed_pre_decision.py:8-13 resolve without fairseq)."""
+    sys.modules["fairseq.modules"].MultiheadAttention = MultiheadAttentionStub
+    if "codebase.modules" not in sys.modules:
+        pkg = types.ModuleType("codebase.modules")
+        pkg.__path__ = []
+        pkg.register_monotonic_attention = lambda name: (lambda cls: cls)
+        sys.modules["codebase.modules"] = pkg
+    mono = _load("codebase.modules.monotonic_multihead_attention",
+                 f"{REF}/modules/monotonic_multihead_attention.py")
+    fixed = _load("codebase.modules.fixed_pre_decision",
+                  f"{REF}/modules/fixed_pre_decision.py")
+    # The reference's waitk_p_choose unconditionally dereferences
+    # incremental_state (p_choose_strategy.py:35), so its OWN train path
+    # (process_train -> p_choose(query, key, kpm) with no incremental state,
+    # monotonic_multihead_attention.py:317-318) crashes — a latent reference
+    # bug only avoided by whatever fairseq fork trained those models.  To
+    # still execute reference code for the train matrix, rebuild it row by
+    # row through the reference's incremental path (each call returns the
+    # last row; offline clipping is per-row, so the stack equals the
+    # intended offline matrix — same equivalence the round-2
+    # test_waitk_p_choose_matches_reference established).
+    _orig_waitk = mono.waitk_p_choose
+
+    def _waitk_rowwise(tgt_len, src_len, bsz, waitk_lagging,
+                       key_padding_mask=None, incremental_state=None):
+        if incremental_state is not None:
+            return _orig_waitk(tgt_len, src_len, bsz, waitk_lagging,
+                               key_padding_mask, incremental_state)
+        rows = [_orig_waitk(t, src_len, bsz, waitk_lagging,
+                            key_padding_mask, {"online": False})
+                for t in range(1, tgt_len + 1)]
+        return torch.cat(rows, dim=1)
+
+    mono.waitk_p_choose = _waitk_rowwise
+    ns = types.SimpleNamespace(mono=mono, fixed=fixed)
+    ns.classes = {
+        "hard_aligned": mono.MonotonicAttention,
+        "infinite_lookback": mono.MonotonicInfiniteLookbackAttention,
+        "waitk": mono.WaitKAttention,
+        "chunkwise": mono.ChunkwiseAttention,
+        # the decorator chain already produced the wrapped classes at load
+        "waitk_fixed_pre_decision": fixed.WaitKAttentionFixedStride,
+        "hard_aligned_fixed_pre_decision": fixed.MonotonicAttentionFixedStride,
+        "infinite_lookback_fixed_pre_decision":
+            fixed.MonotonicInfiniteLookbackAttentionFixedStride,
+    }
+    return ns
+
+
+def _args(attn_type, ratio=2, energy_bias=True, waitk=3, chunk=3):
+    return types.SimpleNamespace(
+        decoder_embed_dim=D, decoder_attention_heads=H,
+        encoder_embed_dim=D, attention_dropout=0.0, attention_eps=1e-6,
+        mass_preservation=True, noise_mean=0.0, noise_var=2.0,
+        energy_bias=energy_bias, energy_bias_init=-2.0,
+        waitk_lagging=waitk, waitk_testtime=waitk,
+        fixed_pre_decision_type="average", fixed_pre_decision_ratio=ratio,
+        fixed_pre_decision_pad_threshold=0.3, mocha_chunk_size=chunk,
+        simul_attn_type=attn_type)
+
+
+def _cfg(attn_type, ratio=2, energy_bias=True, waitk=3, chunk=3):
+    return jmma.MMAConfig(
+        vocab_size=10, embed_dim=D, decoder_heads=H,
+        simul_attn_type=attn_type, waitk_lagging=waitk,
+        waitk_testtime=waitk, energy_bias=energy_bias,
+        fixed_pre_decision_ratio=ratio,
+        mocha_chunk_size=chunk if "chunkwise" in attn_type else None,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+
+
+def _build_ref(refmma, attn_type, **kw):
+    torch.manual_seed(hash(attn_type) % (2 ** 31))
+    tmod = refmma.classes[attn_type](_args(attn_type, **kw)).eval()
+    return tmod
+
+
+def _export(tmod, cfg):
+    """Reference module state_dict -> our attention param dict, THROUGH the
+    converter's monotonic cross-attn branch (fairseq names synthesized the
+    way a real checkpoint spells them)."""
+    name = "decoder.layers.0.encoder_attn"
+    sd = {f"{name}.{k}": v.detach().numpy()
+          for k, v in tmod.state_dict().items()}
+    p = jmma.mma_attention_init(jax.random.PRNGKey(0), cfg)
+    tree = {"layers": [{"encoder_attn": p}]}
+    conv._mha(tree, ["layers", 0, "encoder_attn"], sd, name)
+    for dst, src in (("q_proj_soft", "q_proj_soft"),
+                     ("k_proj_soft", "k_proj_soft")):
+        if dst in p:
+            key = f"{name}.{src}.weight"
+            conv._linear(tree, ["layers", 0, "encoder_attn", dst], sd,
+                         f"{name}.{src}" if key in sd
+                         else f"{name}.{src.replace('_soft', '')}")
+    if "energy_bias" in p and f"{name}.energy_bias" in sd:
+        conv._set(tree, ["layers", 0, "encoder_attn", "energy_bias"],
+                  sd[f"{name}.energy_bias"])
+    return tree["layers"][0]["encoder_attn"]
+
+
+# ---------------------------------------------------------------------------
+# (a) train path
+# ---------------------------------------------------------------------------
+
+ALL_TYPES = ["hard_aligned", "infinite_lookback", "waitk", "chunkwise",
+             "waitk_fixed_pre_decision", "hard_aligned_fixed_pre_decision",
+             "infinite_lookback_fixed_pre_decision"]
+
+
+@pytest.mark.parametrize("attn_type", ALL_TYPES)
+def test_train_forward_matches_reference(refmma, attn_type):
+    B, T, S = 2, 5, 12
+    tmod = _build_ref(refmma, attn_type)
+    cfg = _cfg(attn_type)
+    p = _export(tmod, cfg)
+
+    rng = np.random.RandomState(1)
+    q = rng.randn(T, B, D).astype(np.float32)
+    k = rng.randn(S, B, D).astype(np.float32)
+    pad = np.zeros((B, S), bool)
+    pad[1, 9:] = True
+    k[9:, 1, :] = 0.0   # zero padded frames: the reference pools whatever
+    # sits there (fixed_pre_decision.py:110), we zero them — identical when
+    # the input is zero (see models/mma.py _pool_keys docstring)
+
+    with torch.no_grad():
+        t_out, t_extra = tmod(torch.from_numpy(q), torch.from_numpy(k),
+                              torch.from_numpy(k),
+                              key_padding_mask=torch.from_numpy(pad))
+
+    j_out, j_extra = jmma.mma_attention_forward(
+        p, cfg, jnp.asarray(q.transpose(1, 0, 2)),
+        jnp.asarray(k.transpose(1, 0, 2)), jnp.asarray(k.transpose(1, 0, 2)),
+        key_padding_mask=jnp.asarray(pad), rng=None)
+
+    for field in ("p_choose", "alpha", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(j_extra[field]), t_extra[field].numpy(),
+            atol=2e-5, rtol=1e-4, err_msg=f"{attn_type}: {field}")
+    np.testing.assert_allclose(np.asarray(j_out),
+                               t_out.permute(1, 0, 2).numpy(),
+                               atol=2e-5, rtol=1e-4,
+                               err_msg=f"{attn_type}: attn out")
+
+
+# ---------------------------------------------------------------------------
+# (b) infer path: READ/WRITE decision sequence + closed-loop tokens
+# ---------------------------------------------------------------------------
+
+def _ref_infer_session(tmod, queries, keys, chunk, emb, w_out, max_writes):
+    """Drive the reference module through the agent/decoder protocol
+    (default_agent.py:364-413 + mma_model.py:156-220): run the attention for
+    the current target step; while `online`, any head_read -> READ (show
+    `chunk` more source frames, prune the waitk tgt_len counter the way
+    clear_cache does, KEEP head_step); else WRITE (emit argmax token, next
+    query = its embedding).  Returns (decisions, head_steps, tokens)."""
+    S_total = keys.shape[0]
+    inc = {}
+    s = chunk
+    decisions, steps_log, tokens = [], [], []
+    q = queries[0:1]
+    t = 0
+    for _ in range(200):
+        online = s < S_total
+        inc["online"] = online
+        with torch.no_grad():
+            out, _ = tmod(q, keys[:s], keys[:s], key_padding_mask=None,
+                          incremental_state=inc)
+        buf = tmod._get_monotonic_buffer(inc)
+        if online and bool(buf["head_read"].any()):
+            decisions.append("R")
+            if "tgt_len" in buf:      # clear_cache -> prune_incremental_state
+                buf["tgt_len"] -= 1
+            s = min(s + chunk, S_total)
+        else:
+            decisions.append("W")
+            steps_log.append(buf["head_step"].numpy().copy().ravel())
+            tok = int((out.view(-1) @ w_out).argmax())
+            tokens.append(tok)
+            t += 1
+            if t >= max_writes:
+                break
+            q = emb[tok].view(1, 1, -1)
+    return decisions, steps_log, tokens
+
+
+def _jax_infer_session(p, cfg, queries, keys, chunk, emb, w_out, max_writes):
+    S_total = keys.shape[1]
+    state = jmma.monotonic_init_state(1, H)
+    s = chunk
+    decisions, steps_log, tokens = [], [], []
+    q = queries[:, 0:1, :]
+    t = 0
+    for _ in range(200):
+        online = s < S_total
+        out, new_state = jmma.mma_attention_step(
+            p, cfg, state, q, keys, keys, jnp.asarray([s]),
+            jnp.asarray(t + 1), jnp.asarray(online))
+        state = new_state          # head_step persists across READ retries
+        if online and bool(np.asarray(new_state.head_read).any()):
+            decisions.append("R")
+            s = min(s + chunk, S_total)
+        else:
+            decisions.append("W")
+            steps_log.append(np.asarray(new_state.head_step).ravel().copy())
+            tok = int(np.asarray(out.reshape(-1) @ w_out).argmax())
+            tokens.append(tok)
+            t += 1
+            if t >= max_writes:
+                break
+            q = emb[tok].reshape(1, 1, -1)
+    return decisions, steps_log, tokens
+
+
+INFER_TYPES = ["hard_aligned", "infinite_lookback",
+               "waitk_fixed_pre_decision", "hard_aligned_fixed_pre_decision",
+               "infinite_lookback_fixed_pre_decision"]
+
+
+@pytest.mark.parametrize("attn_type", INFER_TYPES)
+def test_infer_decision_sequence_matches_reference(refmma, attn_type):
+    S_total, chunk, max_writes, V = 16, 4, 6, 23
+    tmod = _build_ref(refmma, attn_type)
+    cfg = _cfg(attn_type)
+    p = _export(tmod, cfg)
+
+    rng = np.random.RandomState(3)
+    keys = rng.randn(S_total, 1, D).astype(np.float32)
+    q0 = rng.randn(1, 1, D).astype(np.float32)
+    emb = rng.randn(V, D).astype(np.float32)
+    w_out = rng.randn(D, V).astype(np.float32)
+
+    t_dec, t_steps, t_toks = _ref_infer_session(
+        tmod, torch.from_numpy(q0), torch.from_numpy(keys), chunk,
+        torch.from_numpy(emb), torch.from_numpy(w_out), max_writes)
+    j_dec, j_steps, j_toks = _jax_infer_session(
+        p, cfg, jnp.asarray(q0.transpose(1, 0, 2)),
+        jnp.asarray(keys.transpose(1, 0, 2)), chunk, jnp.asarray(emb),
+        jnp.asarray(w_out), max_writes)
+
+    assert j_dec == t_dec, (f"{attn_type}: decision sequence differs\n"
+                            f"torch: {''.join(t_dec)}\njax:   {''.join(j_dec)}")
+    assert j_toks == t_toks, f"{attn_type}: emitted tokens differ"
+    for a, b in zip(j_steps, t_steps):
+        np.testing.assert_array_equal(a, b,
+                                      err_msg=f"{attn_type}: head_step")
+    # sanity: the session must actually mix READs and WRITEs
+    assert "R" in t_dec and "W" in t_dec
