@@ -16,12 +16,7 @@ import numpy as np
 
 from simulst_tpu import config as cfglib
 from simulst_tpu.data.mustc import read_wav
-from simulst_tpu.data.vocab import Vocabulary
-from simulst_tpu.models import get_model
-from simulst_tpu.stream.agents import (AgentConfig, CIFAgent, MMAAgent,
-                                        TransducerAgent)
 from simulst_tpu.stream.evaluator import evaluate, evaluate_batched
-from simulst_tpu.train.checkpoint import load_checkpoint
 
 
 def main(argv=None):
@@ -65,45 +60,14 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
 
-    vocab = (Vocabulary.from_spm(args.vocab) if args.vocab.endswith(".model")
-             else Vocabulary.from_txt(args.vocab))
-    restored, meta = load_checkpoint(args.checkpoint)
-    default_model = {"cif": "cif", "transducer": "transducer"}.get(
-        args.agent, "mma")
-    model_name = args.model or (meta or {}).get("model", default_model)
-    model_cls = get_model(model_name)
+    from simulst_tpu.stream.build import build_agent, load_vocab
+    vocab = load_vocab(args.vocab)
     overrides = dict(cfglib.parse_override(s) for s in args.override)
-    base = ((meta or {}).get("config") or {})
-    if args.waitk is not None:
-        overrides["waitk_testtime"] = args.waitk
-    mcfg = cfglib.from_dict(model_cls.Config, {**base, **overrides,
-                                               "vocab_size": len(vocab)})
-    model = model_cls(mcfg)
-
-    gcmvn = None
-    if args.global_cmvn:
-        stats = np.load(args.global_cmvn)
-        gcmvn = (stats["mean"], stats["std"])
-    trained_cmvn = (meta or {}).get("cmvn")
-    if trained_cmvn == "global" and gcmvn is None:
-        print("WARNING: checkpoint was trained with GLOBAL CMVN but no "
-              "--global-cmvn was given — the agent will feed un-normalized "
-              "features and quality will collapse.")
-    elif trained_cmvn == "utterance":
-        print("WARNING: checkpoint was trained with UTTERANCE CMVN, which a "
-              "streaming agent cannot reproduce (the future is unknown). "
-              "Retrain with --cmvn global and pass --global-cmvn here.")
-
-    acfg = AgentConfig(overshoot_weight=args.overshoot_weight)
-    if args.agent in ("mma", "waitk"):
-        agent = MMAAgent(model, restored, vocab, acfg, global_cmvn=gcmvn,
-                         fused=args.fused)
-    elif args.agent == "transducer":
-        agent = TransducerAgent(model, restored, vocab, acfg,
-                                global_cmvn=gcmvn, fused=args.fused)
-    else:
-        agent = CIFAgent(model, restored, vocab, acfg, cif_beta=args.cif_beta,
-                         global_cmvn=gcmvn, fused=args.fused)
+    agent = build_agent(args.checkpoint, vocab, agent_type=args.agent,
+                        model_name=args.model, overrides=overrides,
+                        waitk=args.waitk, cif_beta=args.cif_beta,
+                        overshoot_weight=args.overshoot_weight,
+                        global_cmvn_path=args.global_cmvn, fused=args.fused)
 
     with open(args.source) as f:
         wav_paths = [l.strip() for l in f if l.strip()]
