@@ -241,6 +241,20 @@ def bench_eval_throughput(dtype, batch=8, n_chunks=16):
     return ups, ups * audio_s
 
 
+def _peak_flops(dtype) -> float:
+    """Peak dense-matmul FLOP/s of one chip for the given compute dtype
+    (published spec sheets; unknown kinds fall back to v5e)."""
+    kind = jax.devices()[0].device_kind.lower()
+    bf16 = {
+        "v4": 275e12, "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+        "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12,
+    }
+    peak = next((v for k, v in bf16.items() if k in kind), 197e12)
+    if jnp.dtype(dtype) == jnp.float32:
+        peak /= 8  # fp32 runs as multi-pass bf16 on the MXU
+    return peak
+
+
 def bench_train_step(dtype_name="bfloat16"):
     """Jitted fwd+bwd at the 32x1024 geometry (rbg dropout keys, the train
     CLI default)."""
@@ -273,8 +287,62 @@ def bench_train_step(dtype_name="bfloat16"):
             lambda a, g: a + (g.astype(jnp.float32) ** 2).sum(), grads, 0.0)
         return tc + loss.astype(jnp.float32) + gn * 1e-12
 
-    dt = _time(lambda tc: train_step(tc, params), n_iter=10, warmup=2)
-    return dt, B * T / (dt / 1000.0)
+    # chain steps inside one dispatch like the streaming metrics: the real
+    # train loop (donated buffers, host running ahead) pipelines dispatch
+    # behind device work, while a per-step dispatch through the tunnel costs
+    # ~1-3 ms that a production host never sees
+    @jax.jit
+    def chain(tc, p):
+        cc, _ = jax.lax.scan(lambda a, _: (train_step(a, p), None), tc,
+                             None, length=CHAIN)
+        return cc
+
+    dt = _time(lambda tc: chain(tc, params), n_iter=10, warmup=2) / CHAIN
+
+    # MFU from an ANALYTIC matmul-FLOP model (XLA's cost_analysis counts the
+    # Pallas custom calls as zero flops, so it cannot be used here).  Counts
+    # the algorithmic multiply-adds of the model's matmuls/convs at fwd x1,
+    # bwd x2 — the standard model-FLOP convention; elementwise work excluded.
+    flops = _train_matmul_flops(cfg, B, T, U) * 3
+    mfu = flops / (dt / 1000.0) / _peak_flops(dtype_name)
+    return dt, B * T / (dt / 1000.0), mfu
+
+
+def _train_matmul_flops(cfg, B, T, U) -> float:
+    """Analytic forward matmul FLOPs of the s2t_emformer train step."""
+    d = cfg.embed_dim
+    t4 = T // cfg.stride                       # post-subsample frames
+    ecfg = cfg.emformer
+    seg, rc, mem = ecfg.segment, ecfg.right_context, ecfg.max_memory
+    nseg = t4 // seg
+    f = 0.0
+    # subsampler convs (stride 2 each, GLU halves channels between layers)
+    t_half = T // 2
+    f += B * t_half * 5 * cfg.input_feat * cfg.conv_channels * 2
+    f += B * t4 * 5 * (cfg.conv_channels // 2) * (2 * d) * 2
+    # conv-pos grouped conv (k = conv_pos//2 taps, Cin/g x Cout per tap)
+    k = (cfg.conv_pos + 1) // 2
+    f += B * t4 * k * (d // cfg.conv_pos_groups) * d * 2
+    # emformer layers: rows = rc blocks + utterance + summaries
+    rows = nseg * rc + t4 + nseg
+    ctx = mem + ecfg.left_context + seg + rc   # per-query visible keys
+    per_layer = (B * (t4 + nseg * rc) * d * (2 * d) * 2   # emb_to_key_value
+                 + B * rows * d * d * 2                   # emb_to_query
+                 + B * rows * ctx * d * 2 * 2             # qk^T + pv
+                 + B * rows * d * d * 2                   # out_proj
+                 + B * rows * d * cfg.ffn_dim * 2 * 2)    # fc1 + fc2
+    f += ecfg.num_layers * per_layer
+    # CTC head
+    f += B * t4 * d * cfg.vocab_size * 2
+    # decoder: 6 layers of self-attn + cross-attn + FFN on U tokens
+    dec_per_layer = (B * U * d * d * 2 * 4                 # self qkvo
+                     + B * U * U * d * 2 * 2               # self attn core
+                     + B * U * d * d * 2 * 4               # cross qkvo
+                     + B * U * t4 * d * 2 * 2              # cross attn core
+                     + B * U * d * cfg.decoder_ffn_dim * 2 * 2)
+    f += cfg.decoder_layers * dec_per_layer
+    f += B * U * d * cfg.vocab_size * 2                    # output projection
+    return f
 
 
 def main():
@@ -313,12 +381,15 @@ def main():
                       "value": round(ups, 1), "unit": "utterances_per_sec_b8_10s",
                       "vs_baseline": round(xrt)}))
 
-    train_ms, fps = bench_train_step()
+    train_ms, fps, mfu = bench_train_step()
     extra["train_step_latency_ms"] = round(train_ms, 3)
     extra["train_frames_per_sec"] = round(fps)
+    if mfu is not None:
+        extra["train_mfu"] = round(mfu, 4)
     print(json.dumps({"metric": "train_step_latency",
                       "value": round(train_ms, 3), "unit": "ms",
-                      "vs_baseline": round(fps)}))
+                      "vs_baseline": round(fps),
+                      "mfu": None if mfu is None else round(mfu, 4)}))
 
     dt = bench_read_write(dtype)
     print(json.dumps({

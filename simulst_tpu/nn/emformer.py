@@ -39,7 +39,7 @@ from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom,
                                                   attn_pallas_supported,
                                                   emformer_grouped_attention)
 from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
-                                        seed_from_rng)
+                                        fused_ln_ffn_res, seed_from_rng)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +137,29 @@ def _segment_means(x, segment: int):
 
 def _mem_transform(x, cfg: EmformerConfig):
     return jnp.tanh(x) if cfg.tanh_on_mem else jnp.clip(x, -10, 10)
+
+
+def _pos_ff_res(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
+    """x + FFN(LN(x)) — the pos_ff block WITH its pre-LN and residual.
+
+    On TPU at training shapes the whole block runs as ONE Pallas kernel per
+    pass (fused_ln_ffn_res): the LN, hidden, dropout masks and residual all
+    stay in VMEM, removing two (B, T, D) HBM round trips per layer."""
+    w1 = p["fc1"]["weight"]
+    if cfg.activation in ("gelu", "relu") and \
+            ffn_pallas_supported(x, w1.shape[0], w1.shape[1]):
+        act_rate = 0.0 if deterministic or rng_a is None \
+            else cfg.activation_dropout
+        out_rate = 0.0 if deterministic or rng_b is None else cfg.dropout
+        seed = (seed_from_rng(rng_a) if act_rate or out_rate
+                else jnp.zeros((1,), jnp.int32))
+        d = x.dtype
+        return fused_ln_ffn_res(
+            x, p["ln"]["scale"], p["ln"]["bias"],
+            w1.astype(d), p["fc1"]["bias"].astype(d),
+            p["fc2"]["weight"].astype(d), p["fc2"]["bias"].astype(d), seed,
+            cfg.activation, act_rate, out_rate)
+    return _pos_ff(p, cfg, x, rng_a, rng_b, deterministic) + x
 
 
 def _pos_ff(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
@@ -534,8 +557,8 @@ def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
         next_mems = mems
 
     result = dropout(next(rngs), rc_utt_out, cfg.dropout, deterministic) + raw
-    result = _pos_ff(p["pos_ff"], cfg, result, next(rngs), next(rngs),
-                     deterministic) + result
+    result = _pos_ff_res(p["pos_ff"], cfg, result, next(rngs), next(rngs),
+                         deterministic)
     if not cfg.normalize_before:
         result = layer_norm(p["ln_input"], result)
     return result[:, rc_len:], result[:, :rc_len], next_mems
@@ -683,7 +706,7 @@ def _layer_step(p, cfg: EmformerConfig, lstate: EmformerLayerState, utterance,
     mems_out = _mem_transform(out[:, R + S:], cfg) if cfg.use_mem else out[:, :0]
 
     result = rc_utt_out + raw
-    result = _pos_ff(p["pos_ff"], cfg, result, None, None, True) + result
+    result = _pos_ff_res(p["pos_ff"], cfg, result, None, None, True)
     if not cfg.normalize_before:
         result = layer_norm(p["ln_input"], result)
 
@@ -899,7 +922,7 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
             mems_loc = _mem_transform(summary_out, cfg)
 
             result = jnp.concatenate([rc_out, utt_out], axis=1) + raw
-            result = _pos_ff(p["pos_ff"], cfg, result, None, None, True) + result
+            result = _pos_ff_res(p["pos_ff"], cfg, result, None, None, True)
             if not cfg.normalize_before:
                 result = layer_norm(p["ln_input"], result)
             out, rc_blocks = result[:, rc_len:], result[:, :rc_len]

@@ -104,8 +104,10 @@ def _ctc_nll(emissions_fn, log_probs, input_lengths, targets, target_lengths,
         new = jnp.where(live, new, alpha)
         return new, None
 
+    # unroll: the scan body is a handful of tiny (B, S) VPU ops — at T=256
+    # the per-iteration dispatch overhead dominates; unrolling amortizes it
     xs = (em_all[1:], jnp.arange(1, t))
-    alpha, _ = jax.lax.scan(step, alpha0, xs)
+    alpha, _ = jax.lax.scan(step, alpha0, xs, unroll=8)
 
     end = 2 * target_lengths                                   # final blank state
     a_last = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
@@ -155,7 +157,7 @@ def best_alignment(log_probs, input_lengths, targets, target_lengths,
         return new, choice
 
     xs = (em_all[1:], jnp.arange(1, t))
-    alpha, choices = jax.lax.scan(fwd, alpha0, xs)             # choices: (T-1, B, S)
+    alpha, choices = jax.lax.scan(fwd, alpha0, xs, unroll=8)   # choices: (T-1, B, S)
     choices = jnp.concatenate(
         [jnp.zeros((1, b, s), jnp.int32), choices], axis=0)    # (T, B, S)
 
@@ -177,7 +179,7 @@ def best_alignment(log_probs, input_lengths, targets, target_lengths,
         return prev_state, state
 
     xs_rev = (choices[::-1], jnp.arange(t)[::-1])
-    _, states_rev = jax.lax.scan(bwd, start_state, xs_rev)
+    _, states_rev = jax.lax.scan(bwd, start_state, xs_rev, unroll=8)
     states = states_rev[::-1]                                   # (T, B)
     return jnp.moveaxis(states, 0, 1)                           # (B, T)
 

@@ -43,23 +43,19 @@ from jax.experimental.pallas import tpu as pltpu
 # dominated the kernel: decomposition showed the activation costing ~10x the
 # MXU matmuls).  Both Phi(u)-0.5 = 0.5*erf(u/sqrt2) and dgelu(u)-0.5 are ODD,
 # so each is u * P(t)/Q(t) with t = u^2 — Pade-style least-squares fits on
-# [0, 36] (clamped outside |u| <= 6): ~9 fp32 madds + one divide per element,
-# a third of the degree-14 Chebyshev this replaces.  Max abs error 4.4e-6
-# (value, [4/4]) / 2.1e-5 (derivative, [5/4]) vs the exact erf forms — far
-# below bf16 resolution.
-_GELU_S_P = np.array([3.9894491553246050e-01, 2.4032863937724896e-02,
-                      3.7442321778811550e-03, 1.8281496059309624e-06,
-                      -4.0716852230298200e-07], np.float32)
-_GELU_S_Q = np.array([1.0, 2.2695272440629527e-01, 2.2140010536465117e-02,
-                      1.0449517504577536e-03, -1.2145462460870075e-05],
+# [0, 36] (clamped outside |u| <= 6).  Round-3 re-fit at [3/3]/[3/3] after
+# measuring the activation as the kernel wall, with the LS error weighted in
+# gelu/dgelu space (u^2 resp. u): max abs error 1.4e-4 (gelu value) /
+# 1.1e-4 (derivative) vs the exact erf forms — still ~30x below bf16's 2^-8
+# resolution, and three fewer fp32 madds per element than the round-2
+# [4/4]/[5/4] fits (which measured ~0.23 ms/layer vs relu).
+_GELU_S_P = np.array([3.98692554e-01, 3.56137274e-02, 3.71465642e-03,
+                      2.44699535e-05], np.float32)
+_GELU_S_Q = np.array([1.0, 2.54625803e-01, 2.76505503e-02, 9.78094599e-04],
                      np.float32)
-_GELU_D_P = np.array([7.9787706438195140e-01, -6.0269335806710980e-03,
-                      1.1940259075874315e-02, 5.2702452082125740e-04,
-                      1.7420884456537752e-05, -7.6470704717891520e-08],
-                     np.float32)
-_GELU_D_Q = np.array([1.0, 3.2568378296953454e-01, 4.8754040869295180e-02,
-                      4.1628965756857700e-03, 3.0558739546736430e-04],
-                     np.float32)
+_GELU_D_P = np.array([7.98470218e-01, -2.94790745e-02, 1.48463408e-02,
+                      1.66193703e-04], np.float32)
+_GELU_D_Q = np.array([1.0, 0.29994645, 0.03872854, 0.0055461], np.float32)
 
 
 def _horner(t, coefs):
@@ -323,6 +319,246 @@ def ffn_reference(x, w1, b1, w2, b2, rng_a, rng_b, activation="gelu",
     h = dropout(rng_a, h, act_rate, act_rate == 0.0)
     y = h @ w2 + b2
     return dropout(rng_b, y, out_rate, out_rate == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# LN -> FFN -> (+x) fully fused (the Emformer pos_ff block,
+# emformer.py::_pos_ff + its residual): folds the pre-LayerNorm and the
+# residual add into the same VMEM tile, removing two (B, T, D) HBM round
+# trips and their separate fusion launches per layer, fwd AND bwd.
+# ---------------------------------------------------------------------------
+
+_LN_EPS = np.float32(1e-5)
+
+
+def _ln_rows(xf, g_f, b_f):
+    """Row-wise LayerNorm in fp32 (matches nn/core.layer_norm: stats in
+    fp32, eps inside rsqrt).  Returns (normed, xhat, inv_sigma)."""
+    mu = xf.mean(axis=1, keepdims=True)
+    xc = xf - mu
+    var = (xc * xc).mean(axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = xc * inv
+    return xhat * g_f + b_f, xhat, inv
+
+
+def _ln_ffn_fwd_kernel(activation, act_rate, out_rate, exact_div,
+                       seed_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref,
+                       w2_ref, b2_ref, y_ref):
+    f, _ = _act_pair(activation, exact_div)
+    dtype = x_ref.dtype
+    xf = x_ref[:].astype(jnp.float32)
+    normed, _, _ = _ln_rows(xf, g_ref[:].astype(jnp.float32),
+                            be_ref[:].astype(jnp.float32))
+    xin = normed.astype(dtype)
+    u = jnp.dot(xin, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[:].astype(jnp.float32)
+    h = f(u)
+    if act_rate > 0.0 or out_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    if act_rate > 0.0:
+        inv = np.float32(1.0 / (1.0 - act_rate))
+        h = jnp.where(_mask(h.shape, act_rate), h * inv, 0.0)
+    y = jnp.dot(h.astype(dtype), w2_ref[:], preferred_element_type=jnp.float32)
+    y = y + b2_ref[:].astype(jnp.float32)
+    if out_rate > 0.0:
+        inv = np.float32(1.0 / (1.0 - out_rate))
+        y = jnp.where(_mask(y.shape, out_rate), y * inv, 0.0)
+    y_ref[:] = (y + xf).astype(dtype)          # residual in fp32
+
+
+def _ln_ffn_bwd_kernel(activation, act_rate, out_rate, exact_div,
+                       seed_ref, x_ref, g_ref, be_ref, w1_ref, b1_ref,
+                       w2_ref, dy_ref,
+                       dx_ref, dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref,
+                       db2_ref):
+    f, df = _act_pair(activation, exact_div)
+    i = pl.program_id(0)
+    dtype = x_ref.dtype
+
+    g_f = g_ref[:].astype(jnp.float32)
+    xf = x_ref[:].astype(jnp.float32)
+    normed, xhat, inv = _ln_rows(xf, g_f, be_ref[:].astype(jnp.float32))
+    xin = normed.astype(dtype)
+    u = jnp.dot(xin, w1_ref[:], preferred_element_type=jnp.float32)
+    u = u + b1_ref[:].astype(jnp.float32)
+    h = f(u)
+    if act_rate > 0.0 or out_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i)
+    if act_rate > 0.0:
+        inv_a = np.float32(1.0 / (1.0 - act_rate))
+        mask_a = _mask(h.shape, act_rate)
+        h_d = jnp.where(mask_a, h * inv_a, 0.0).astype(dtype)
+    else:
+        mask_a = None
+        h_d = h.astype(dtype)
+
+    gy = dy_ref[:]
+    g = gy
+    if out_rate > 0.0:
+        inv_o = np.float32(1.0 / (1.0 - out_rate))
+        g = jnp.where(_mask(g.shape, out_rate),
+                      g.astype(jnp.float32) * inv_o, 0.0).astype(dtype)
+
+    dh = jax.lax.dot_general(
+        g, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    du = dh * df(u)
+    if act_rate > 0.0:
+        du = jnp.where(mask_a, du * inv_a, 0.0)
+    du = du.astype(dtype)
+
+    # grad wrt the LN output, then through LN to x; + residual passthrough
+    dnormed = jax.lax.dot_general(
+        du, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    gg = dnormed * g_f
+    m1 = gg.mean(axis=1, keepdims=True)
+    m2 = (gg * xhat).mean(axis=1, keepdims=True)
+    dx = inv * (gg - m1 - xhat * m2)
+    dx_ref[:] = (dx + gy.astype(jnp.float32)).astype(dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        dbe_ref[:] = jnp.zeros_like(dbe_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dg_ref[:] += (dnormed * xhat).sum(axis=0, keepdims=True)
+    dbe_ref[:] += dnormed.sum(axis=0, keepdims=True)
+    dw1_ref[:] += jax.lax.dot_general(
+        xin, du, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[:] += du.astype(jnp.float32).sum(axis=0, keepdims=True)
+    dw2_ref[:] += jax.lax.dot_general(
+        h_d, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[:] += g.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+
+def _ln_ffn_fwd_call(x2, g, be, w1, b1, w2, b2, seed, activation, act_rate,
+                     out_rate, interpret):
+    n, d = x2.shape
+    hdim = w1.shape[1]
+    ROW_TILE = _row_tile(x2.dtype)
+    n_pad = -n % ROW_TILE
+    xp = _pad_rows(x2, n_pad)
+    grid = ((n + n_pad) // ROW_TILE,)
+    y = pl.pallas_call(
+        functools.partial(_ln_ffn_fwd_kernel, activation, act_rate, out_rate,
+                          bool(interpret)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, d), x2.dtype),
+        interpret=_interpret_mode(interpret),
+    )(seed, xp, g[None, :], be[None, :], w1, b1[None, :], w2, b2[None, :])
+    return y[:n]
+
+
+def _ln_ffn_bwd_call(x2, g, be, w1, b1, w2, dy2, seed, activation, act_rate,
+                     out_rate, interpret):
+    n, d = x2.shape
+    hdim = w1.shape[1]
+    ROW_TILE = _row_tile(x2.dtype)
+    n_pad = -n % ROW_TILE
+    xp = _pad_rows(x2, n_pad)
+    dyp = _pad_rows(dy2, n_pad)
+    grid = ((n + n_pad) // ROW_TILE,)
+    dx, dg, dbe, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_ln_ffn_bwd_kernel, activation, act_rate, out_rate,
+                          bool(interpret)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n + n_pad, d), x2.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((hdim, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        interpret=_interpret_mode(interpret),
+    )(seed, xp, g[None, :], be[None, :], w1, b1[None, :], w2, dyp)
+    return dx[:n], dg[0], dbe[0], dw1, db1[0], dw2, db2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_ln_ffn_res(x, ln_g, ln_b, w1, b1, w2, b2, seed, activation="gelu",
+                     act_rate=0.0, out_rate=0.0, interpret=False):
+    """y = x + drop(fc2(drop(act(fc1(LN(x)))))) in one kernel per pass.
+
+    The Emformer pos_ff block with its pre-LN and residual.  Grads flow to
+    x / ln scale+bias / w1 / b1 / w2 / b2; weight & LN grads accumulate fp32.
+    """
+    shape = x.shape
+    y = _ln_ffn_fwd_call(x.reshape(-1, shape[-1]), ln_g, ln_b, w1, b1, w2,
+                         b2, seed, activation, act_rate, out_rate, interpret)
+    return y.reshape(shape)
+
+
+def _ln_ffn_vjp_fwd(x, ln_g, ln_b, w1, b1, w2, b2, seed, activation,
+                    act_rate, out_rate, interpret):
+    y = fused_ln_ffn_res(x, ln_g, ln_b, w1, b1, w2, b2, seed, activation,
+                         act_rate, out_rate, interpret)
+    return y, (x, ln_g, ln_b, w1, b1, w2, jnp.zeros((0,), b2.dtype), seed)
+
+
+def _ln_ffn_vjp_bwd(activation, act_rate, out_rate, interpret, res, gy):
+    x, ln_g, ln_b, w1, b1, w2, b2_proto, seed = res
+    shape = x.shape
+    dx, dg, dbe, dw1, db1, dw2, db2 = _ln_ffn_bwd_call(
+        x.reshape(-1, shape[-1]), ln_g, ln_b, w1, b1, w2,
+        gy.reshape(-1, shape[-1]), seed, activation, act_rate, out_rate,
+        interpret)
+    return (dx.reshape(shape), dg.astype(ln_g.dtype), dbe.astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2_proto.dtype),
+            np.zeros(seed.shape, jax.dtypes.float0))
+
+
+fused_ln_ffn_res.defvjp(_ln_ffn_vjp_fwd, _ln_ffn_vjp_bwd)
+
+
+def ln_ffn_res_reference(x, ln_g, ln_b, w1, b1, w2, b2, rng_a, rng_b,
+                         activation="gelu", act_rate=0.0, out_rate=0.0):
+    """Plain-XLA twin of fused_ln_ffn_res."""
+    from simulst_tpu.nn.core import layer_norm
+    y = layer_norm({"scale": ln_g, "bias": ln_b}, x)
+    return x + ffn_reference(y, w1, b1, w2, b2, rng_a, rng_b, activation,
+                             act_rate, out_rate)
 
 
 def ffn_pallas_supported(x, d: int, hdim: int) -> bool:

@@ -60,6 +60,8 @@ def test_deterministic_grads_match_reference():
 
 
 def test_gelu_polynomial_accuracy():
+    # [3/3] rationals: 1.4e-4 (value) / 1.1e-4 (derivative) max abs error —
+    # ~30x below bf16's 2^-8 resolution
     u = jnp.linspace(-8.0, 8.0, 4001, dtype=jnp.float32)
     from simulst_tpu.ops.ffn_pallas import _act_pair
     f, df = _act_pair("gelu", exact_div=True)  # no kernel context
@@ -113,6 +115,82 @@ def test_row_padding():
     ref = float(jnp.abs(gw1_ref).max())
     np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw1_ref),
                                atol=5e-3 * ref, rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused LN -> FFN -> +residual (the pos_ff block)
+# ---------------------------------------------------------------------------
+
+def _ln_params(key):
+    x, w1, b1, w2, b2 = _params(key)
+    kg, kb = jax.random.split(jax.random.fold_in(key, 7))
+    g = 1.0 + 0.1 * jax.random.normal(kg, (D,))
+    be = 0.1 * jax.random.normal(kb, (D,))
+    return x, g, be, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("activation", ["gelu", "relu"])
+def test_ln_ffn_res_matches_reference(activation):
+    from simulst_tpu.ops.ffn_pallas import fused_ln_ffn_res, ln_ffn_res_reference
+    x, g, be, w1, b1, w2, b2 = _ln_params(jax.random.PRNGKey(5))
+    y_k = fused_ln_ffn_res(x, g, be, w1, b1, w2, b2, SEED, activation,
+                           0.0, 0.0, INTERP)
+    y_r = ln_ffn_res_reference(x, g, be, w1, b1, w2, b2, None, None,
+                               activation)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_ln_ffn_res_grads_match_reference():
+    from simulst_tpu.ops.ffn_pallas import fused_ln_ffn_res, ln_ffn_res_reference
+    x, g, be, w1, b1, w2, b2 = _ln_params(jax.random.PRNGKey(6))
+
+    def loss_k(*args):
+        return (fused_ln_ffn_res(*args, SEED, "gelu", 0.0, 0.0,
+                                 INTERP) ** 2).sum()
+
+    def loss_r(*args):
+        return (ln_ffn_res_reference(*args, None, None, "gelu") ** 2).sum()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(x, g, be, w1, b1, w2, b2)
+    for name, a, b in zip("x g be w1 b1 w2 b2".split(), gk, gr):
+        ref = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 * ref, rtol=5e-3,
+                                   err_msg=f"grad {name}")
+
+
+def test_ln_ffn_res_row_padding_and_dropout_vjp():
+    from simulst_tpu.ops.ffn_pallas import fused_ln_ffn_res, ln_ffn_res_reference
+    x, g, be, w1, b1, w2, b2 = _ln_params(jax.random.PRNGKey(7))
+    x_odd = x.reshape(-1, D)[:137]
+    y = fused_ln_ffn_res(x_odd, g, be, w1, b1, w2, b2, SEED, "gelu",
+                         0.0, 0.0, INTERP)
+    y_ref = ln_ffn_res_reference(x_odd, g, be, w1, b1, w2, b2, None, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-3, rtol=1e-3)
+    if not ON_CPU:
+        return
+    # interpret-mode all-keep masks: kernel VJP must equal the closed-form
+    # all-keep function's VJP (LN grads included)
+    from simulst_tpu.nn.core import layer_norm
+
+    def allkeep(x, g, be, w1, b1, w2, b2):
+        y = layer_norm({"scale": g, "bias": be}, x)
+        h = ACTIVATIONS["gelu"](y @ w1 + b1) / 0.9
+        return x + (h @ w2 + b2) / 0.9
+
+    gk = jax.grad(lambda *a: (fused_ln_ffn_res(*a, SEED, "gelu", 0.1, 0.1,
+                                               True) ** 2).sum(),
+                  argnums=tuple(range(7)))(x_odd, g, be, w1, b1, w2, b2)
+    gr = jax.grad(lambda *a: (allkeep(*a) ** 2).sum(),
+                  argnums=tuple(range(7)))(x_odd, g, be, w1, b1, w2, b2)
+    for name, a, b in zip("x g be w1 b1 w2 b2".split(), gk, gr):
+        ref = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 * ref, rtol=5e-3,
+                                   err_msg=f"grad {name}")
 
 
 # ---------------------------------------------------------------------------

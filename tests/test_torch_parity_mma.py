@@ -82,11 +82,13 @@ def refmma(ref):
     register_monotonic_attention` and the relative import in
     fixed_pre_decision.py:8-13 resolve without fairseq)."""
     sys.modules["fairseq.modules"].MultiheadAttention = MultiheadAttentionStub
-    if "codebase.modules" not in sys.modules:
+    pkg = sys.modules.get("codebase.modules")
+    if pkg is None:
         pkg = types.ModuleType("codebase.modules")
         pkg.__path__ = []
-        pkg.register_monotonic_attention = lambda name: (lambda cls: cls)
         sys.modules["codebase.modules"] = pkg
+    # other parity files may have created the package without this attr
+    pkg.register_monotonic_attention = lambda name: (lambda cls: cls)
     mono = _load("codebase.modules.monotonic_multihead_attention",
                  f"{REF}/modules/monotonic_multihead_attention.py")
     fixed = _load("codebase.modules.fixed_pre_decision",
