@@ -817,12 +817,20 @@ def _shift_from_right(x, axis_name: str, n_dev: int):
 
 
 def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
-                                 mesh, seq_axis: str = "seq"):
-    """Sequence-parallel training/offline forward (deterministic).
+                                 mesh, seq_axis: str = "seq", *, rng=None,
+                                 deterministic: bool = True):
+    """Sequence-parallel TRAINING/offline forward.
 
     x: (B, U + right_context, D) — like emformer_forward; U must be a
     multiple of n_devices * segment, and U / n_devices / segment must be
-    >= max_memory.  Output matches emformer_forward's utterance encoding.
+    >= max_memory.  Output matches emformer_forward's utterance encoding
+    exactly when deterministic (dropout off).
+
+    Train-grade dropout: pass `rng` and deterministic=False — each shard
+    folds its axis index into the key, so masks are iid across shards and
+    the run is reproducible given the key (they are a DIFFERENT valid draw
+    than the single-device path's, exactly like the reference's DDP workers
+    each drawing their own torch dropout masks).
     """
     from jax.sharding import PartitionSpec as P
     try:
@@ -852,6 +860,8 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
         o_frames = ax * u_loc
         o_seg = ax * n_loc
         b = x_loc.shape[0]
+        rngs = _rng_stream(None if (rng is None or deterministic)
+                           else jax.random.fold_in(rng, ax))
 
         # input-time right halo for the rc blocks (last shard uses the tail)
         halo_r = _shift_from_right(x_loc[:, :rc], seq_axis, S)
@@ -912,6 +922,8 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
             block = (jnp.arange(nq) == nq - 1)[:, None] & (jnp.arange(ctx) < M)[None, :]
             scores = jnp.where(block[None, None, None], ni, scores)
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            probs = dropout(next(rngs), probs, cfg.attention_dropout,
+                            deterministic)
             o = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
             o = o.transpose(0, 1, 3, 2, 4).reshape(b, n_loc, nq, d)
             o = linear(ap["out_proj"], o)
@@ -921,8 +933,11 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
             summary_out = o[:, :, rc + seg:].reshape(b, n_loc, d)
             mems_loc = _mem_transform(summary_out, cfg)
 
-            result = jnp.concatenate([rc_out, utt_out], axis=1) + raw
-            result = _pos_ff_res(p["pos_ff"], cfg, result, None, None, True)
+            rc_utt_out = jnp.concatenate([rc_out, utt_out], axis=1)
+            result = dropout(next(rngs), rc_utt_out, cfg.dropout,
+                             deterministic) + raw
+            result = _pos_ff_res(p["pos_ff"], cfg, result, next(rngs),
+                                 next(rngs), deterministic)
             if not cfg.normalize_before:
                 result = layer_norm(p["ln_input"], result)
             out, rc_blocks = result[:, rc_len:], result[:, :rc_len]
