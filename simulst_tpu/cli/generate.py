@@ -26,10 +26,13 @@ from simulst_tpu.nn import transformer as tfm
 from simulst_tpu.train.checkpoint import load_checkpoint
 
 
-def _run_search(step_fn, dstate, reorder_fn, b, beam_cfg: BeamConfig):
+def _run_search(step_fn, dstate, reorder_fn, b, beam_cfg: BeamConfig,
+                prefix_tokens=None):
     if beam_cfg.beam_size == 1:
-        return greedy_decode(step_fn, dstate, b, beam_cfg)
-    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn)
+        return greedy_decode(step_fn, dstate, b, beam_cfg,
+                             prefix_tokens=prefix_tokens)
+    res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn,
+                      prefix_tokens=prefix_tokens)
     return res.tokens[:, 0], res.lengths[:, 0]
 
 
@@ -73,10 +76,10 @@ def _build_cif(model, params, batch, beam_cfg: BeamConfig,
 
 
 def decode_batch_cif(model, params, batch, beam_cfg: BeamConfig,
-                     overshoot_weight: float = 1.0):
+                     overshoot_weight: float = 1.0, prefix_tokens=None):
     return _run_search(*_build_cif(model, params, batch, beam_cfg,
                                    overshoot_weight),
-                       batch["feats"].shape[0], beam_cfg)
+                       batch["feats"].shape[0], beam_cfg, prefix_tokens)
 
 
 def _build_mma(model, params, batch, beam_cfg: BeamConfig):
@@ -113,9 +116,10 @@ def _build_mma(model, params, batch, beam_cfg: BeamConfig):
     return step_fn, dstate, reorder_fn
 
 
-def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig):
+def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig,
+                     prefix_tokens=None):
     return _run_search(*_build_mma(model, params, batch, beam_cfg),
-                       batch["feats"].shape[0], beam_cfg)
+                       batch["feats"].shape[0], beam_cfg, prefix_tokens)
 
 
 def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
@@ -145,19 +149,22 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
     return tokens, lengths
 
 
-def decode_batch(model, params, batch, beam_cfg: BeamConfig):
+def decode_batch(model, params, batch, beam_cfg: BeamConfig,
+                 prefix_tokens=None):
     """Returns (tokens (B, L), lengths (B,)) best hypotheses."""
     from simulst_tpu.models.cif import CIFModel
     from simulst_tpu.models.mma import MMAModel
     from simulst_tpu.models.transducer import TransducerModel
     if isinstance(model, CIFModel):
-        return decode_batch_cif(model, params, batch, beam_cfg)
+        return decode_batch_cif(model, params, batch, beam_cfg,
+                                prefix_tokens=prefix_tokens)
     if isinstance(model, MMAModel):
-        return decode_batch_mma(model, params, batch, beam_cfg)
+        return decode_batch_mma(model, params, batch, beam_cfg,
+                                prefix_tokens=prefix_tokens)
     if isinstance(model, TransducerModel):
         return decode_batch_transducer(model, params, batch, beam_cfg)
     return _run_search(*_build_std(model, params, batch, beam_cfg),
-                       batch["feats"].shape[0], beam_cfg)
+                       batch["feats"].shape[0], beam_cfg, prefix_tokens)
 
 
 def _build_std(model, params, batch, beam_cfg: BeamConfig):
@@ -210,9 +217,10 @@ def _build_mt(model, params, batch, beam_cfg: BeamConfig):
     return step_fn, dstate, reorder_fn
 
 
-def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig):
+def decode_batch_mt(model, params, batch, beam_cfg: BeamConfig,
+                    prefix_tokens=None):
     return _run_search(*_build_mt(model, params, batch, beam_cfg),
-                       batch["src_tokens"].shape[0], beam_cfg)
+                       batch["src_tokens"].shape[0], beam_cfg, prefix_tokens)
 
 
 def build_ensemble(builders):
@@ -276,6 +284,12 @@ def main(argv=None):
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--len-penalty", type=float, default=1.0)
+    p.add_argument("--min-len", type=int, default=1,
+                   help="EOS blocked until this many tokens are generated")
+    p.add_argument("--unk-penalty", type=float, default=0.0)
+    p.add_argument("--prefix-size", type=int, default=0,
+                   help="force hypotheses to start with the first N target "
+                        "tokens (fairseq --prefix-size)")
     p.add_argument("--max-tokens", type=int, default=40000)
     p.add_argument("--scoring", default="bleu", choices=["bleu", "wer"])
     p.add_argument("--output", default=None)
@@ -310,7 +324,8 @@ def main(argv=None):
     bcfg = BatcherConfig(max_tokens=args.max_tokens, shuffle=False,
                          batch_multiple=1)
     beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_len,
-                          len_penalty=args.len_penalty)
+                          len_penalty=args.len_penalty,
+                          min_len=args.min_len, unk_penalty=args.unk_penalty)
 
     if args.task == "mt":
         from simulst_tpu.data.text_dataset import TextDataset, make_text_batches
@@ -329,14 +344,19 @@ def main(argv=None):
     id2row = {r["id"]: i for i, r in enumerate(rows)}
     for batch in batches:
         n_real = batch["n_real"]
+        prefix = None
+        if args.prefix_size > 0 and "target" in batch:
+            prefix = jnp.asarray(batch["target"][:, :args.prefix_size])
         if len(models) > 1:
             tokens, lengths = decode_batch_ensemble(models, params_list,
                                                     batch, beam_cfg,
                                                     task=args.task)
         elif args.task == "mt":
-            tokens, lengths = decode_batch_mt(model, params, batch, beam_cfg)
+            tokens, lengths = decode_batch_mt(model, params, batch, beam_cfg,
+                                              prefix_tokens=prefix)
         else:
-            tokens, lengths = decode_batch(model, params, batch, beam_cfg)
+            tokens, lengths = decode_batch(model, params, batch, beam_cfg,
+                                           prefix_tokens=prefix)
         tokens = np.asarray(tokens)
         lengths = np.asarray(lengths)
         for j in range(n_real):

@@ -29,6 +29,10 @@ class BeamConfig:
     pad_idx: int = 1
     eos_idx: int = 2
     bos_idx: int = 0
+    # fairseq generation_args parity (tasks/inference_config.py:8-77):
+    min_len: int = 1           # EOS blocked while fewer tokens than this
+    unk_penalty: float = 0.0   # subtracted from the unk log-prob
+    unk_idx: int = 3
 
 
 class BeamResult(NamedTuple):
@@ -38,7 +42,7 @@ class BeamResult(NamedTuple):
 
 
 def beam_search(step_fn: Callable, init_state, batch_size: int,
-                cfg: BeamConfig, reorder_fn: Callable):
+                cfg: BeamConfig, reorder_fn: Callable, prefix_tokens=None):
     """step_fn(state, tokens (N,)) -> (logits (N, V), new_state) where
     N = batch*beam (states must be built with that batch dim).
     reorder_fn(state, idx (N,)) -> state gathered along the batch axis.
@@ -47,6 +51,11 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
     BANKED (finalized with length-normalized scores) and leave the beam, so
     live slots keep exploring; at the end banked hypotheses compete with the
     length-normalized unfinished beams.
+
+    prefix_tokens: optional (B, P) int32, PAD-padded — each hypothesis is
+    constrained to start with its row's non-PAD prefix (fairseq
+    --prefix-size semantics: the prefix token keeps its model score, all
+    other continuations are masked).
     """
     bsz, beam = batch_size, cfg.beam_size
     n = bsz * beam
@@ -73,6 +82,20 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
         v = lprobs.shape[-1]
         lprobs = lprobs.reshape(bsz, beam, v)
         lprobs = lprobs.at[:, :, cfg.pad_idx].set(NEG)  # never produce PAD
+        if cfg.unk_penalty:
+            lprobs = lprobs.at[:, :, cfg.unk_idx].add(-cfg.unk_penalty)
+        if cfg.min_len > 0:   # block EOS until min_len tokens are generated
+            eos_col = jnp.where(t < cfg.min_len, NEG,
+                                lprobs[:, :, cfg.eos_idx])
+            lprobs = lprobs.at[:, :, cfg.eos_idx].set(eos_col)
+        if prefix_tokens is not None:
+            P = prefix_tokens.shape[1]
+            forced = jnp.where(t < P, prefix_tokens[:, jnp.minimum(t, P - 1)],
+                               cfg.pad_idx)                      # (B,)
+            has_pref = (t < P) & (forced != cfg.pad_idx)
+            keep = jax.nn.one_hot(forced, v, dtype=bool)[:, None, :]
+            lprobs = jnp.where(has_pref[:, None, None],
+                               jnp.where(keep, lprobs, NEG), lprobs)
 
         cand = scores[:, :, None] + lprobs                  # (B, beam, V)
         flat = cand.reshape(bsz, beam * v)
@@ -131,14 +154,25 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
 
 
 def greedy_decode(step_fn: Callable, init_state, batch_size: int,
-                  cfg: BeamConfig, bos: int = None):
+                  cfg: BeamConfig, bos: int = None, prefix_tokens=None):
     """Greedy (beam=1) decode via lax.scan. Returns (tokens (B, max_len),
     lengths (B,)).  bos overrides the first input token (default eos, the
     fairseq convention; the transducer starts from blank)."""
     def body(carry, t):
         state, prev, done, tokens = carry
         logits, state = step_fn(state, prev)
-        nxt = logits.argmax(-1).astype(jnp.int32)
+        lg = logits.astype(jnp.float32)
+        if cfg.unk_penalty:
+            lg = lg.at[:, cfg.unk_idx].add(-cfg.unk_penalty)
+        if cfg.min_len > 0:
+            eos_col = jnp.where(t < cfg.min_len, NEG, lg[:, cfg.eos_idx])
+            lg = lg.at[:, cfg.eos_idx].set(eos_col)
+        nxt = lg.argmax(-1).astype(jnp.int32)
+        if prefix_tokens is not None:
+            P = prefix_tokens.shape[1]
+            forced = jnp.where(t < P, prefix_tokens[:, jnp.minimum(t, P - 1)],
+                               cfg.pad_idx)
+            nxt = jnp.where((t < P) & (forced != cfg.pad_idx), forced, nxt)
         nxt = jnp.where(done, cfg.pad_idx, nxt)
         tokens = tokens.at[:, t].set(nxt)
         done = done | (nxt == cfg.eos_idx)

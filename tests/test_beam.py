@@ -89,3 +89,73 @@ def test_banked_beam_recovers_early_eos_hypothesis():
     best = np.asarray(res.tokens)[0, 0]
     assert best[0] == 3 and best[1] == 2       # [3, EOS]
     assert int(res.lengths[0, 0]) == 2
+
+
+def test_min_len_blocks_early_eos():
+    """A model that always prefers EOS must still emit >= min_len tokens
+    (fairseq generation_args min_len; inference_config.py:8-77)."""
+    V, T = 6, 6
+    table = jnp.zeros((V, T + 1, V)).at[:, :, 2].set(10.0)  # EOS dominates
+    table = table.at[:, :, 4].set(5.0)                      # runner-up
+    step = _toy_step(table)
+    for beam in (1, 3):
+        cfg = BeamConfig(beam_size=beam, max_len=T, min_len=3)
+        if beam == 1:
+            tokens, lengths = greedy_decode(step, jnp.zeros((), jnp.int32),
+                                            1, cfg)
+        else:
+            res = beam_search(step, jnp.zeros((), jnp.int32), 1, cfg,
+                              lambda s, i: s)
+            tokens, lengths = res.tokens[:, 0], res.lengths[:, 0]
+        toks = np.asarray(tokens)[0][: int(np.asarray(lengths)[0])]
+        assert int(lengths[0]) >= 4, toks       # 3 tokens + EOS
+        assert list(toks[:3]) == [4, 4, 4]
+        assert toks[3] == 2
+
+
+def test_unk_penalty_steers_away_from_unk():
+    V, T = 6, 3
+    table = jnp.zeros((V, T + 1, V)).at[:, :, 3].set(1.0)   # UNK best
+    table = table.at[:, :, 5].set(0.9)                      # runner-up
+    table = table.at[:, T - 1, 2].set(30.0)
+    step = _toy_step(table)
+    cfg = BeamConfig(beam_size=1, max_len=T, unk_penalty=0.0)
+    tokens, _ = greedy_decode(step, jnp.zeros((), jnp.int32), 1, cfg)
+    assert int(np.asarray(tokens)[0, 0]) == 3
+    cfg = BeamConfig(beam_size=1, max_len=T, unk_penalty=5.0)
+    tokens, _ = greedy_decode(step, jnp.zeros((), jnp.int32), 1, cfg)
+    assert int(np.asarray(tokens)[0, 0]) == 5
+    res = beam_search(step, jnp.zeros((), jnp.int32), 1,
+                      BeamConfig(beam_size=2, max_len=T, unk_penalty=5.0),
+                      lambda s, i: s)
+    assert int(np.asarray(res.tokens)[0, 0, 0]) == 5
+
+
+def test_prefix_tokens_constrain_hypotheses():
+    """fairseq --prefix-size semantics: hypotheses start with the given
+    per-example prefix; PAD rows in the prefix are unconstrained."""
+    V, T = 7, 5
+    key = jax.random.PRNGKey(3)
+    table = jax.random.normal(key, (V, T + 1, V))
+    table = table.at[:, :, 2].add(-8.0)   # no early EOS
+    table = table.at[:, :, 1].add(-50.0)  # and never PAD
+    step = _toy_step(table)
+    prefix = jnp.asarray([[5, 6], [1, 1]], jnp.int32)  # row 1 unconstrained
+
+    def batch_step(state, tokens):
+        t = state
+        return table[tokens, t], t + 1
+
+    cfg = BeamConfig(beam_size=3, max_len=T)
+    res = beam_search(batch_step, jnp.zeros((), jnp.int32), 2, cfg,
+                      lambda s, i: s, prefix_tokens=prefix)
+    best = np.asarray(res.tokens)[:, 0]
+    assert list(best[0][:2]) == [5, 6]
+    free = beam_search(batch_step, jnp.zeros((), jnp.int32), 2, cfg,
+                       lambda s, i: s)
+    np.testing.assert_array_equal(best[1], np.asarray(free.tokens)[1, 0])
+    # greedy honors the same contract
+    toks, _ = greedy_decode(batch_step, jnp.zeros((), jnp.int32), 2,
+                            BeamConfig(beam_size=1, max_len=T),
+                            prefix_tokens=prefix)
+    assert list(np.asarray(toks)[0][:2]) == [5, 6]
