@@ -190,10 +190,25 @@ def convert_cif(params, sd):
     return params
 
 
+def convert_transducer(params, sd):
+    """transducer_model checkpoints: label encoder (decoder layers without
+    cross-attention) + SimpleJoiner projections
+    (transducer_model.py:28-122)."""
+    convert_encoder(params, sd)
+    convert_decoder(params, sd, cross_attn="none")
+    dec = params["decoder"]
+    _linear(dec, ["joiner", "source_projection"], sd,
+            "decoder.joiner.source_projection")
+    _linear(dec, ["joiner", "target_projection"], sd,
+            "decoder.joiner.target_projection", bias=False)
+    return params
+
+
 CONVERTERS = {
     "s2t_emformer": convert_s2t_emformer,
     "mma": convert_mma,
     "cif": convert_cif,
+    "transducer": convert_transducer,
 }
 
 

@@ -113,7 +113,13 @@ def joiner_forward(p, dec_params, cfg: TransducerConfig, src_feats, tgt_feats):
 
 def downsample_pool(x, lengths, k: int):
     """Length-aware ceil-mode AvgPool with last-frame rescale
-    (reference AvgPool1dTBCPad :79-98). x: (B, T, C)."""
+    (reference AvgPool1dTBCPad :79-98). x: (B, T, C).
+
+    Every example's final pooled frame is the mean over its r = ((len-1)%k)+1
+    actual frames: torch's ceil-mode AvgPool1d divides a trailing
+    out-of-bounds window by the true overlap (which is why the reference
+    masks its explicit rescale at lengths == T — the pool already divided by
+    r there); our fixed-k mean needs the k/r rescale in BOTH cases."""
     if k <= 1:
         return x, lengths
     b, t, c = x.shape
@@ -122,10 +128,10 @@ def downsample_pool(x, lengths, k: int):
     n = -(-t // k)
     xp = jnp.pad(x, ((0, 0), (0, n * k - t), (0, 0)))
     pooled = xp.reshape(b, n, k, c).mean(axis=2)
-    # rescale the last (partial) pooled frame by k / remainder
+    # rescale the last (possibly partial) pooled frame by k / remainder
     r = (lengths - 1) % k + 1
     last = (lengths - r) // k
-    scale = jnp.where(lengths == t, 1.0, k / r.astype(jnp.float32))
+    scale = k / r.astype(jnp.float32)
     onehot = jnp.arange(n)[None, :] == last[:, None]
     pooled = pooled * jnp.where(onehot, scale[:, None], 1.0)[:, :, None]
     new_lengths = -(-lengths // k)

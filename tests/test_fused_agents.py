@@ -83,8 +83,11 @@ def test_waitk_large_k_matches_offline_greedy(audio):
     feats = fbank_np(audio * 2 ** 15)
     batch = {"feats": feats[None], "feat_lengths":
              np.array([feats.shape[0]], np.int32)}
+    # min_len=0: the streaming agent may emit EOS immediately, while the
+    # fairseq-default min_len=1 would block offline EOS at the first step
     tokens, lengths = decode_batch(model, params, batch,
-                                   BeamConfig(beam_size=1, max_len=11))
+                                   BeamConfig(beam_size=1, max_len=11,
+                                              min_len=0))
     ids = [int(t) for t in np.asarray(tokens)[0][: int(lengths[0])]
            if t != EOS]
     offline_words = []
