@@ -20,6 +20,7 @@ converter transposes torch's (Cout, Cin/g, K).
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -222,12 +223,48 @@ def _conv_pos_weight(p):
     return (p["g"].astype(jnp.float32) * v / norm)
 
 
+def _grouped_conv_valid(xp, w, groups: int):
+    return _conv1d(xp, w, 1, groups)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grouped_conv_fast_wgrad(xp, w, groups: int):
+    """VALID grouped conv whose backward computes the WEIGHT grad with the
+    tap-gridded Pallas kernel (ops/conv_pos_pallas.py) — XLA's grouped wgrad
+    conv ran ~0.7 ms/step at the production geometry with (16,16) channel
+    tiles; the kernel runs it as full-width MXU matmuls (~0.35 ms).  The
+    forward and the data grad stay in XLA (already fine)."""
+    return _grouped_conv_valid(xp, w, groups)
+
+
+def _gcfw_fwd(xp, w, groups):
+    return _grouped_conv_valid(xp, w, groups), (xp, w)
+
+
+def _gcfw_bwd(groups, res, gy):
+    from simulst_tpu.ops.conv_pos_pallas import convpos_wgrad_pallas
+    xp, w = res
+    k = w.shape[0]
+    _, dx_vjp = jax.vjp(lambda x_: _grouped_conv_valid(x_, w, groups), xp)
+    (dxp,) = dx_vjp(gy)
+    dw = convpos_wgrad_pallas(xp, gy, k, groups).astype(w.dtype)
+    return dxp, dw
+
+
+_grouped_conv_fast_wgrad.defvjp(_gcfw_fwd, _gcfw_bwd)
+
+
 def conv_pos_apply(p, x, groups: int):
     """x: (B, T, D) -> positional features (B, T, D) (GELU'd)."""
+    from simulst_tpu.ops.conv_pos_pallas import convpos_wgrad_supported
     w = _conv_pos_weight(p).astype(x.dtype)
     k = w.shape[0]
     xp = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
-    y = _conv1d(xp, w, 1, groups) + p["bias"].astype(x.dtype)
+    if convpos_wgrad_supported(xp, x.shape[-1], groups):
+        y = _grouped_conv_fast_wgrad(xp, w, groups)
+    else:
+        y = _conv1d(xp, w, 1, groups)
+    y = y + p["bias"].astype(x.dtype)
     return gelu(y)
 
 
