@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 
 from simulst_tpu.nn.core import dropout, linear, linear_init, neg_inf
+from simulst_tpu.ops.ffn_pallas import seed_from_rng
+from simulst_tpu.ops.linear_res_pallas import (fused_linear_drop_res,
+                                               linear_res_supported)
 
 
 def mha_init(key, embed_dim: int, num_heads: int, kdim: Optional[int] = None,
@@ -73,8 +76,14 @@ def attend(q, k, v, *, bias=None, key_valid=None, dropout_rate: float = 0.0,
 
 def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
                 causal: bool = False, attn_bias=None,
-                dropout_rate: float = 0.0, rng=None, deterministic: bool = True):
-    """Full-sequence attention. query: (B, Tq, D); key/value: (B, Tk, D')."""
+                dropout_rate: float = 0.0, rng=None, deterministic: bool = True,
+                epilogue=None):
+    """Full-sequence attention. query: (B, Tq, D); key/value: (B, Tk, D').
+
+    epilogue: optional (res, rate, rng) — fold the transformer-layer
+    epilogue `res + dropout(out_proj(attn))` into the projection (one fused
+    Pallas pass on TPU, plain ops elsewhere) instead of returning the bare
+    projection for the caller to post-process."""
     q = _split_heads(linear(p["q_proj"], query), num_heads)
     k = _split_heads(linear(p["k_proj"], key), num_heads)
     v = _split_heads(linear(p["v_proj"], value), num_heads)
@@ -86,7 +95,23 @@ def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
         bias = cb if bias is None else bias + cb
     out, probs = attend(q, k, v, bias=bias, key_valid=key_valid,
                         dropout_rate=dropout_rate, rng=rng, deterministic=deterministic)
-    return linear(p["out_proj"], _merge_heads(out)), probs
+    merged = _merge_heads(out)
+    if epilogue is not None:
+        res, ep_rate, ep_rng = epilogue
+        w = p["out_proj"]["weight"]
+        rate = 0.0 if deterministic or ep_rng is None else ep_rate
+        if linear_res_supported(merged, w.shape[0], w.shape[1]):
+            seed = (seed_from_rng(ep_rng) if rate > 0.0
+                    else jnp.zeros((1,), jnp.int32))
+            y = fused_linear_drop_res(
+                merged, w.astype(merged.dtype),
+                p["out_proj"]["bias"].astype(merged.dtype),
+                res.astype(merged.dtype), seed, rate)
+            return y, probs
+        y = dropout(ep_rng, linear(p["out_proj"], merged), ep_rate,
+                    deterministic)
+        return y + res, probs
+    return linear(p["out_proj"], merged), probs
 
 
 class KVCache(NamedTuple):

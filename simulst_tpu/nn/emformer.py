@@ -40,6 +40,8 @@ from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom,
                                                   emformer_grouped_attention)
 from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
                                         fused_ln_ffn_res, seed_from_rng)
+from simulst_tpu.ops.linear_res_pallas import (fused_linear_drop_res,
+                                               linear_res_supported)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -369,10 +371,13 @@ def _choose_group(n: int, U: int, cfg: EmformerConfig) -> int:
 
 
 def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
-                       summary, lengths, rngs, deterministic):
-    """Grouped-segment training attention: same math as _segmented_attention
-    with G segments per block (see _group_gather_indices).  Returns
-    (rc_utt_out (B, rc_len+U, D), summary_out (B, n, D))."""
+                       summary, lengths, rngs, deterministic, rc_raw, utt_raw):
+    """Grouped-segment training attention WITH its epilogue: same math as
+    _segmented_attention with G segments per block (see
+    _group_gather_indices), followed by out_proj -> residual dropout ->
+    +raw on the rc/utterance rows (summary rows get the plain projection).
+    Returns (result (B, rc_len+U, D) — post-residual, pre-pos_ff — and
+    summary_out (B, n, D))."""
     b, U, d = utt_ln.shape
     seg, lc, rc = cfg.segment, cfg.left_context, cfg.right_context
     n = U // seg
@@ -401,11 +406,35 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
                 else jnp.zeros((1,), jnp.int32))
         out = emformer_grouped_attention(q, k, v, lengths.astype(jnp.int32),
                                          seed, geom, rate)
+        rng_ep = next(rngs)
+        ep_rate = 0.0 if deterministic or rng_ep is None else cfg.dropout
+        if linear_res_supported(out, d, d):
+            # fused out_proj + residual dropout + residual add: group rows
+            # are [G*rc rc | G*seg utt | G summary]; the residual tensor is
+            # the raw (pre-LN) input reshaped into the same grouped layout,
+            # zeros under the (plain-projection) summary rows.
+            res = jnp.concatenate(
+                [rc_raw.reshape(b, ng, G * rc, d),
+                 utt_raw.reshape(b, ng, G * seg, d),
+                 jnp.zeros((b, ng, G, d), out.dtype)], axis=2)
+            seed_ep = (seed_from_rng(rng_ep) if ep_rate > 0.0
+                       else jnp.zeros((1,), jnp.int32))
+            w_o = ap["out_proj"]["weight"].astype(out.dtype)
+            b_o = ap["out_proj"]["bias"].astype(out.dtype)
+            y = fused_linear_drop_res(out, w_o, b_o, res, seed_ep, ep_rate,
+                                      period=nq, res_rows=G * (rc + seg))
+            rc_res = y[:, :, :G * rc].reshape(b, n * rc, d)
+            utt_res = y[:, :, G * rc:G * (rc + seg)].reshape(b, U, d)
+            summary_out = y[:, :, G * (rc + seg):].reshape(b, n, d)
+            return jnp.concatenate([rc_res, utt_res], axis=1), summary_out
         out = linear(ap["out_proj"], out)
         rc_out = out[:, :, :G * rc].reshape(b, n * rc, d)
         utt_out = out[:, :, G * rc:G * (rc + seg)].reshape(b, U, d)
         summary_out = out[:, :, G * (rc + seg):].reshape(b, n, d)
-        return jnp.concatenate([rc_out, utt_out], axis=1), summary_out
+        rc_utt_out = jnp.concatenate([rc_out, utt_out], axis=1)
+        raw = jnp.concatenate([rc_raw, utt_raw], axis=1)
+        result = dropout(rng_ep, rc_utt_out, cfg.dropout, deterministic) + raw
+        return result, summary_out
 
     idx_np, valid_np, utt_col_np, allowed_np = _group_gather_indices(
         U, seg, lc, rc, cfg.max_memory, G)
@@ -435,7 +464,10 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     rc_out = out[:, :, :G * rc].reshape(b, n * rc, d)
     utt_out = out[:, :, G * rc:G * (rc + seg)].reshape(b, U, d)
     summary_out = out[:, :, G * (rc + seg):].reshape(b, n, d)
-    return jnp.concatenate([rc_out, utt_out], axis=1), summary_out
+    rc_utt_out = jnp.concatenate([rc_out, utt_out], axis=1)
+    raw = jnp.concatenate([rc_raw, utt_raw], axis=1)
+    result = dropout(next(rngs), rc_utt_out, cfg.dropout, deterministic) + raw
+    return result, summary_out
 
 
 def _segmented_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
@@ -526,9 +558,11 @@ def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
     G = _choose_group(n, U, cfg)
     groupable = G > 1
     if groupable:
-        rc_utt_out, summary_out = _grouped_attention(
+        # _grouped_attention applies the out_proj + dropout + residual
+        # epilogue itself (fused into one Pallas pass when supported)
+        result, summary_out = _grouped_attention(
             p, cfg, G, utt_ln, rc_ln, mems, summary, lengths, rngs,
-            deterministic)
+            deterministic, rc_blocks, utterance)
     elif cfg.segmented_attention:
         rc_utt_out, summary_out = _segmented_attention(
             p, cfg, utt_ln, rc_ln, mems, summary, lengths, rngs, deterministic)
@@ -556,7 +590,9 @@ def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
     else:
         next_mems = mems
 
-    result = dropout(next(rngs), rc_utt_out, cfg.dropout, deterministic) + raw
+    if not groupable:
+        result = dropout(next(rngs), rc_utt_out, cfg.dropout,
+                         deterministic) + raw
     result = _pos_ff_res(p["pos_ff"], cfg, result, next(rngs), next(rngs),
                          deterministic)
     if not cfg.normalize_before:

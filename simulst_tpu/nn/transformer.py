@@ -144,9 +144,8 @@ def decoder_layer_forward(p, cfg: DecoderConfig, x, encoder_out, encoder_valid,
     x, _ = attn.mha_forward(p["self_attn"], x, x, x, cfg.num_heads,
                             key_valid=self_attn_valid, causal=True,
                             dropout_rate=cfg.attention_dropout,
-                            rng=_next(rngs), deterministic=deterministic)
-    x = dropout(_next(rngs), x, cfg.dropout, deterministic)
-    x = x + residual
+                            rng=_next(rngs), deterministic=deterministic,
+                            epilogue=(residual, cfg.dropout, _next(rngs)))
     if not cfg.normalize_before:
         x = layer_norm(p["self_attn_ln"], x)
 
@@ -156,9 +155,9 @@ def decoder_layer_forward(p, cfg: DecoderConfig, x, encoder_out, encoder_valid,
     x, cross_probs = attn.mha_forward(p["encoder_attn"], x, encoder_out, encoder_out,
                                       cfg.num_heads, key_valid=encoder_valid,
                                       dropout_rate=cfg.attention_dropout,
-                                      rng=_next(rngs), deterministic=deterministic)
-    x = dropout(_next(rngs), x, cfg.dropout, deterministic)
-    x = x + residual
+                                      rng=_next(rngs), deterministic=deterministic,
+                                      epilogue=(residual, cfg.dropout,
+                                                _next(rngs)))
     if not cfg.normalize_before:
         x = layer_norm(p["encoder_attn_ln"], x)
 

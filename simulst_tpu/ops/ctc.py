@@ -36,14 +36,20 @@ def _emissions(log_probs, labels):
     TPU-first: expressed as a one-hot einsum so the MXU does the selection
     and — crucially — the BACKWARD is another matmul instead of a
     scatter-add into (B, T, V).  A per-scan-step gather costs ~22 ms
-    fwd+bwd at (32, 256, 4100, S=129); this form costs ~3 ms.  One-hot rows
-    are exactly {0,1}, so with HIGHEST precision the result equals the
-    gather bit-for-bit up to fp32 rounding.
+    fwd+bwd at (32, 256, 4100, S=129); this form costs ~3 ms.
+
+    Precision HIGH (bf16_3x on TPU, plain fp32 on CPU) instead of HIGHEST
+    (bf16_6x): one-hot rows are exactly {0,1}, so each output is a single
+    selected log-prob plus exact zeros — the 3-pass split already
+    reconstructs the fp32 operand to ~2^-22 relative, and each extra pass
+    only refines products whose one-hot factor is exact.  Halves the MXU
+    passes of the hottest fp32 matmul in the CTC block (measured ~0.7 ms
+    fwd+bwd at the production geometry under HIGHEST).
     """
     b, t, v = log_probs.shape
     onehot = jax.nn.one_hot(labels, v, dtype=jnp.float32)       # (B, S, V)
     em = jnp.einsum("btv,bsv->bts", log_probs.astype(jnp.float32), onehot,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=jax.lax.Precision.HIGH)
     return jnp.moveaxis(em, 0, 1)                               # (T, B, S)
 
 
