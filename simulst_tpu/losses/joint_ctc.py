@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from simulst_tpu.losses.label_smoothed_ce import ce_loss
-from simulst_tpu.ops.ctc import ctc_loss_raw
+from simulst_tpu.ops.ctc import ctc_raw_smoothed
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,13 +49,11 @@ def smoothed_ctc_loss(ctc_logits, encoder_lengths, target, cfg: JointCTCConfig):
     # materializes), and the smoothing term -sum_v lprobs[t, v] equals
     # V * LSE(logits[t]) - sum_v logits[t, v]
     tgt, tgt_lens = ctc_targets(target, cfg)
-    nll = ctc_loss_raw(ctc_logits, encoder_lengths, tgt, tgt_lens,
-                       blank=cfg.blank_idx, zero_infinity=cfg.zero_infinity)
+    # single alpha-beta custom-VJP op: its backward assembles the CTC AND
+    # smoothing gradients in one fused (B, T, V) pass (ops/ctc.py)
+    nll, smooth = ctc_raw_smoothed(ctc_logits, encoder_lengths, tgt, tgt_lens,
+                                   cfg.blank_idx, cfg.zero_infinity, True)
     v = ctc_logits.shape[-1]
-    lf = ctc_logits.astype(jnp.float32)
-    neg_lp_sum = v * jax.nn.logsumexp(lf, axis=-1) - lf.sum(-1)   # (B, T)
-    valid = jnp.arange(lf.shape[1])[None, :] < encoder_lengths[:, None]
-    smooth = jnp.where(valid, neg_lp_sum, 0.0).sum()
     eps_i = cfg.label_smoothing / v
     return (1.0 - cfg.label_smoothing) * nll + eps_i * smooth, nll
 

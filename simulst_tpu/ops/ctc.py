@@ -14,6 +14,7 @@ python loop on CPU; here it is a reverse scan on device).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -78,9 +79,161 @@ def ctc_loss(log_probs, input_lengths, targets, target_lengths, blank: int = 0,
 def ctc_loss_raw(logits, input_lengths, targets, target_lengths,
                  blank: int = 0, zero_infinity: bool = True):
     """ctc_loss on RAW (un-normalized) logits; equals
-    ctc_loss(log_softmax(logits), ...) without materializing the log-probs."""
-    return _ctc_nll(_emissions_raw, logits, input_lengths, targets,
-                    target_lengths, blank, zero_infinity)
+    ctc_loss(log_softmax(logits), ...) without materializing the log-probs.
+    Backward is the closed-form alpha-beta posterior (see ctc_raw_smoothed)."""
+    return ctc_raw_smoothed(logits, input_lengths, targets, target_lengths,
+                            blank, zero_infinity, False)[0]
+
+
+# ---------------------------------------------------------------------------
+# Alpha-beta custom VJP on raw logits.
+#
+# Differentiating the alpha scan makes XLA stack every per-step residual
+# (em slices, carried alphas) into (T, B, S) replay buffers and run the
+# transposed scan with dynamic-slice/update housekeeping (~0.5 ms/step of
+# copies at the production 32x1024 geometry, measured).  The CTC gradient
+# has a closed form — dlogits = softmax - scatter(posterior), with the
+# occupancy posterior p[t,s] = exp(alpha[t,s] + beta[t,s] + nll) — which is
+# exactly what the reference's cuDNN CTC computes internally
+# (joint_ctc_criterion.py:153-162 -> torch F.ctc_loss).  Here:
+#   * forward: one alpha scan (unrolled), stashing the (T, B, S) alphas,
+#   * backward: one beta scan emitting d_em per step, then ONE fused
+#     (B, T, V) pass assembling dlogits.
+# The label-smoothing term (V * lse - sum_v logits over valid frames) is
+# folded into the same pass so its backward does not materialize a second
+# (B, T, V) tensor (with_smooth=True; joint_ctc_criterion.py:167-169).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def ctc_raw_smoothed(logits, input_lengths, targets, target_lengths,
+                     blank: int = 0, zero_infinity: bool = True,
+                     with_smooth: bool = True):
+    """(nll_sum, smooth_sum) from RAW logits.
+
+    nll_sum matches ctc_loss(log_softmax(logits), ...); smooth_sum is
+    sum over valid frames of -sum_v log_softmax(logits)[t, v] (zero when
+    with_smooth=False).  Gradients flow to logits only.
+    """
+    out, _ = _ctc_ab_fwd(logits, input_lengths, targets, target_lengths,
+                         blank, zero_infinity, with_smooth)
+    return out
+
+
+def _ctc_masks(targets, blank: int):
+    labels = _ctc_labels(targets, blank)                       # (B, S)
+    s = labels.shape[1]
+    lab_shift2 = jnp.pad(labels, ((0, 0), (2, 0)), constant_values=-1)[:, :s]
+    can_skip = (labels != blank) & (labels != lab_shift2)      # (B, S)
+    return labels, can_skip
+
+
+def _ctc_ab_fwd(logits, input_lengths, targets, target_lengths,
+                blank, zero_infinity, with_smooth):
+    b, t, v = logits.shape
+    labels, can_skip = _ctc_masks(targets, blank)
+    s = labels.shape[1]
+    lf = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(lf, axis=-1)                        # (B, T)
+    em_all = _emissions(logits, labels) - jnp.moveaxis(lse, 0, 1)[:, :, None]
+
+    alpha0 = jnp.full((b, s), NEG)
+    alpha0 = alpha0.at[:, 0].set(em_all[0, :, 0])
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(target_lengths > 0, em_all[0, :, 1], NEG))
+
+    def step(alpha, inp):
+        em, t_idx = inp
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.where(can_skip, a2, NEG)
+        new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+        live = (t_idx < input_lengths)[:, None]
+        new = jnp.where(live, new, alpha)
+        return new, new
+
+    xs = (em_all[1:], jnp.arange(1, t))
+    alpha_last, alphas_tail = jax.lax.scan(step, alpha0, xs, unroll=8)
+    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (T, B, S)
+
+    end = 2 * target_lengths
+    a_last = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(
+        alpha_last, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(target_lengths > 0, a_prev, NEG)
+    nll_b = -jnp.logaddexp(a_last, a_prev)                     # (B,)
+    keep = jnp.ones_like(nll_b, bool)
+    if zero_infinity:
+        keep = (nll_b <= -NEG / 2) & jnp.isfinite(nll_b)
+    nll_sum = jnp.where(keep, nll_b, 0.0).sum()
+
+    valid = jnp.arange(t)[None, :] < input_lengths[:, None]    # (B, T)
+    if with_smooth:
+        smooth = jnp.where(valid, v * lse - lf.sum(-1), 0.0).sum()
+    else:
+        smooth = jnp.zeros((), jnp.float32)
+    res = (logits, input_lengths, targets, target_lengths, lse, em_all,
+           alphas, nll_b, keep)
+    return (nll_sum, smooth), res
+
+
+def _ctc_ab_bwd(blank, zero_infinity, with_smooth, res, gys):
+    gy_nll, gy_smooth = gys
+    (logits, input_lengths, targets, target_lengths, lse, em_all, alphas,
+     nll_b, keep) = res
+    b, t, v = logits.shape
+    labels, can_skip = _ctc_masks(targets, blank)
+    s = labels.shape[1]
+
+    end = 2 * target_lengths
+    iota_s = jnp.arange(s)[None, :]
+    beta_last = jnp.where(
+        (iota_s == end[:, None])
+        | ((iota_s == jnp.maximum(end - 1, 0)[:, None])
+           & (target_lengths > 0)[:, None]),
+        0.0, NEG)                                              # (B, S)
+
+    # occupancy posterior, scaled: d_em[t] = -gy * keep * p[t] on live frames.
+    # beta[t] excludes em[t] (combined with alpha[t] which includes it).
+    scale = (-gy_nll) * jnp.where(keep, 1.0, 0.0)[:, None]     # (B, 1)
+
+    def step(beta, inp):
+        em, alpha, t_idx = inp
+        d_em = scale * jnp.exp(alpha + beta + nll_b[:, None])
+        live = (t_idx < input_lengths)[:, None]
+        d_em = jnp.where(live, d_em, 0.0)
+        # beta[t-1, s] = LSE_j em[t, s+j] + beta[t, s+j], j gated at dest
+        b0 = em + beta
+        b1 = jnp.pad(b0, ((0, 0), (0, 1)), constant_values=NEG)[:, 1:]
+        b2m = jnp.where(can_skip, b0, NEG)
+        b2 = jnp.pad(b2m, ((0, 0), (0, 2)), constant_values=NEG)[:, 2:]
+        new = jnp.logaddexp(jnp.logaddexp(b0, b1), b2)
+        new = jnp.where(live, new, beta)
+        return new, d_em
+
+    xs = (em_all[::-1], alphas[::-1], jnp.arange(t)[::-1])
+    _, d_em_rev = jax.lax.scan(step, beta_last, xs, unroll=8)
+    d_em = d_em_rev[::-1]                                      # (T, B, S)
+
+    # one fused (B, T, V) pass: scatter + d_lse * softmax [- smooth const]
+    onehot = jax.nn.one_hot(labels, v, dtype=jnp.float32)      # (B, S, V)
+    scatter = jnp.einsum("tbs,bsv->btv", d_em, onehot,
+                         precision=jax.lax.Precision.HIGH)
+    valid = (jnp.arange(t)[None, :] < input_lengths[:, None]).astype(
+        jnp.float32)
+    d_lse = -d_em.sum(-1).T                                    # (B, T)
+    if with_smooth:
+        d_lse = d_lse + gy_smooth * v * valid
+    softmax = jnp.exp(logits.astype(jnp.float32) - lse[:, :, None])
+    dlogits = scatter + d_lse[:, :, None] * softmax
+    if with_smooth:
+        dlogits = dlogits - gy_smooth * valid[:, :, None]
+    f0 = lambda x: jnp.zeros(x.shape, jax.dtypes.float0)
+    return (dlogits.astype(logits.dtype), f0(input_lengths), f0(targets),
+            f0(target_lengths))
+
+
+ctc_raw_smoothed.defvjp(_ctc_ab_fwd, _ctc_ab_bwd)
 
 
 def _ctc_nll(emissions_fn, log_probs, input_lengths, targets, target_lengths,

@@ -128,3 +128,55 @@ def test_ctc_loss_raw_equals_log_softmax_path():
     g_lsm = jax.grad(via_lsm)(logits)
     np.testing.assert_allclose(np.asarray(g_raw), np.asarray(g_lsm),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_ctc_raw_smoothed_matches_explicit():
+    """ctc_raw_smoothed folds the label-smoothing term into the alpha-beta
+    backward; both outputs' values AND the combined gradient must match the
+    explicit log_softmax formulation."""
+    from simulst_tpu.ops.ctc import ctc_loss, ctc_raw_smoothed
+
+    rng = np.random.RandomState(7)
+    b, t, v, l = 3, 10, 13, 4
+    logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32)) * 2.0
+    targets = jnp.asarray(rng.randint(1, v, size=(b, l)).astype(np.int32))
+    in_lens = jnp.asarray([10, 8, 9], jnp.int32)
+    tgt_lens = jnp.asarray([4, 2, 3], jnp.int32)
+
+    def explicit(x):
+        lp = jax.nn.log_softmax(x, axis=-1)
+        nll = ctc_loss(lp, in_lens, targets, tgt_lens)
+        valid = jnp.arange(t)[None, :] < in_lens[:, None]
+        smooth = jnp.where(valid, -lp.sum(-1), 0.0).sum()
+        return nll, smooth
+
+    def fused(x):
+        return ctc_raw_smoothed(x, in_lens, targets, tgt_lens, 0, True, True)
+
+    for w_nll, w_sm in [(1.0, 0.0), (0.0, 1.0), (0.9, 0.1 / v)]:
+        comb_e = lambda x: sum(w * o for w, o in zip((w_nll, w_sm), explicit(x)))
+        comb_f = lambda x: sum(w * o for w, o in zip((w_nll, w_sm), fused(x)))
+        np.testing.assert_allclose(float(comb_f(logits)), float(comb_e(logits)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jax.grad(comb_f)(logits)),
+                                   np.asarray(jax.grad(comb_e)(logits)),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_ctc_raw_zero_infinity_grad_zeroed():
+    """An impossible target (longer than the input) contributes neither loss
+    nor gradient; other batch rows keep their gradients."""
+    from simulst_tpu.ops.ctc import ctc_loss_raw
+
+    rng = np.random.RandomState(9)
+    logits = jnp.asarray(rng.randn(2, 4, 6).astype(np.float32))
+    targets = jnp.asarray([[1, 2, 3, 4, 5], [1, 2, 0, 0, 0]], jnp.int32)
+    in_lens = jnp.asarray([4, 4], jnp.int32)
+    tgt_lens = jnp.asarray([5, 2], jnp.int32)  # row 0 impossible (2L-1 > T)
+
+    loss, g = jax.value_and_grad(
+        lambda x: ctc_loss_raw(x, in_lens, targets, tgt_lens))(logits)
+    g = np.asarray(g)
+    assert np.abs(g[0]).max() == 0.0
+    assert np.abs(g[1]).max() > 0.0
+    assert np.isfinite(float(loss))
