@@ -74,6 +74,19 @@ def attend(q, k, v, *, bias=None, key_valid=None, dropout_rate: float = 0.0,
     return out, probs
 
 
+def _merged_linear(parts, x):
+    """One wide matmul for several same-input projections: x @ [W1|W2|...]
+    + [b1|b2|...], split back afterwards.  Many small (rows, D, D) dots each
+    pay MXU ramp + layout overhead; the concatenated weights are
+    loop-invariant so XLA hoists the concat out of the training scan."""
+    d_outs = [q["weight"].shape[1] for q in parts]
+    w = jnp.concatenate([q["weight"] for q in parts], axis=1).astype(x.dtype)
+    b = jnp.concatenate([q["bias"] for q in parts]).astype(x.dtype)
+    y = x @ w + b
+    offs = [sum(d_outs[:i]) for i in range(len(d_outs) + 1)]
+    return [y[..., offs[i]:offs[i + 1]] for i in range(len(parts))]
+
+
 def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
                 causal: bool = False, attn_bias=None,
                 dropout_rate: float = 0.0, rng=None, deterministic: bool = True,
@@ -84,9 +97,19 @@ def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
     epilogue `res + dropout(out_proj(attn))` into the projection (one fused
     Pallas pass on TPU, plain ops elsewhere) instead of returning the bare
     projection for the caller to post-process."""
-    q = _split_heads(linear(p["q_proj"], query), num_heads)
-    k = _split_heads(linear(p["k_proj"], key), num_heads)
-    v = _split_heads(linear(p["v_proj"], value), num_heads)
+    if query is key and key is value:
+        qp, kp, vp = _merged_linear(
+            [p["q_proj"], p["k_proj"], p["v_proj"]], query)
+    elif key is value:
+        qp = linear(p["q_proj"], query)
+        kp, vp = _merged_linear([p["k_proj"], p["v_proj"]], key)
+    else:
+        qp = linear(p["q_proj"], query)
+        kp = linear(p["k_proj"], key)
+        vp = linear(p["v_proj"], value)
+    q = _split_heads(qp, num_heads)
+    k = _split_heads(kp, num_heads)
+    v = _split_heads(vp, num_heads)
     bias = attn_bias
     if causal:
         tq, tk = q.shape[2], k.shape[2]
@@ -150,9 +173,11 @@ def mha_step(p, cache: KVCache, query_step, num_heads: int,
              *, rng=None, dropout_rate: float = 0.0, deterministic: bool = True
              ) -> Tuple[jnp.ndarray, KVCache]:
     """Incremental self-attention for ONE new step. query_step: (B, 1, D)."""
-    q = _split_heads(linear(p["q_proj"], query_step), num_heads)
-    k_new = _split_heads(linear(p["k_proj"], query_step), num_heads)
-    v_new = _split_heads(linear(p["v_proj"], query_step), num_heads)
+    qp, kp, vp = _merged_linear(
+        [p["q_proj"], p["k_proj"], p["v_proj"]], query_step)
+    q = _split_heads(qp, num_heads)
+    k_new = _split_heads(kp, num_heads)
+    v_new = _split_heads(vp, num_heads)
     cache = kv_cache_append(cache, k_new, v_new)
     tmax = cache.k.shape[2]
     valid = jnp.arange(tmax)[None, :] < cache.length[:, None]   # (B, Tmax)
