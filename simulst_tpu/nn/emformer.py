@@ -35,7 +35,7 @@ import numpy as np
 
 from simulst_tpu.nn.core import (ACTIVATIONS, dropout, layer_norm,
                                  layer_norm_init, linear, linear_init, neg_inf)
-from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom,
+from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom, padded_tk,
                                                   attn_pallas_supported,
                                                   emformer_grouped_attention)
 from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
@@ -386,8 +386,18 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     hd = d // h
 
     ap = p["attention"]
-    kv = linear(ap["emb_to_key_value"],
-                jnp.concatenate([mems, rc_ln, utt_ln], axis=1))
+    geom = AttnGeom(U=U, seg=seg, lc=lc, rc=rc, max_mem=cfg.max_memory,
+                    G=G, num_heads=h)
+    use_pallas = attn_pallas_supported(geom, d)
+    kv_rows = [mems, rc_ln, utt_ln]
+    if use_pallas:
+        # build k/v already at the kernel's padded width: the zero rows ride
+        # the existing concat for free instead of a pad+copy per layer, and
+        # their grads vanish through the concat vjp (ops/emformer_attn_pallas
+        # padded_tk)
+        n_pad = padded_tk(geom) - geom.tk
+        kv_rows.append(jnp.zeros((b, n_pad, d), utt_ln.dtype))
+    kv = linear(ap["emb_to_key_value"], jnp.concatenate(kv_rows, axis=1))
     k, v = jnp.split(kv, 2, axis=-1)
 
     rc_q = rc_ln.reshape(b, ng, G * rc, d)
@@ -397,9 +407,7 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     nq = q_in.shape[2]
     q = linear(ap["emb_to_query"], q_in)
 
-    geom = AttnGeom(U=U, seg=seg, lc=lc, rc=rc, max_mem=cfg.max_memory,
-                    G=G, num_heads=h)
-    if attn_pallas_supported(geom, d):
+    if use_pallas:
         rng = next(rngs)
         rate = 0.0 if deterministic or rng is None else cfg.attention_dropout
         seed = (seed_from_rng(rng) if rate > 0.0

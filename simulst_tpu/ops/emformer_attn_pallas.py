@@ -288,16 +288,27 @@ def _interpret_mode(flag):
     return pltpu.InterpretParams() if flag else False
 
 
-def _pad_tk(a):
-    """Pad so widened (aligned-down) windows stay in bounds AND the row count
-    is tile-aligned (Mosaic requires slice shapes aligned to the tiling)."""
-    pad = _round_up(a.shape[1] + 2 * ALIGN) - a.shape[1]
-    return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+def padded_tk(geom: AttnGeom) -> int:
+    """Row count the kernel needs k/v padded to: widened (aligned-down)
+    windows must stay in bounds AND the row count must be tile-aligned
+    (Mosaic requires slice shapes aligned to the tiling).  Callers that
+    build k/v at this width up front (zero rows appended before the kv
+    projection) skip the pad+copy XLA otherwise inserts per layer
+    (~0.17 ms/step at the bench geometry — round-3 profile)."""
+    return _round_up(geom.tk + 2 * ALIGN)
+
+
+def _pad_tk(a, geom: AttnGeom):
+    pad = padded_tk(geom) - a.shape[1]
+    if pad < 0:
+        raise ValueError(f"k/v rows {a.shape[1]} exceed padded_tk "
+                         f"{padded_tk(geom)}")
+    return jnp.pad(a, ((0, 0), (0, pad), (0, 0))) if pad else a
 
 
 def _fwd_call(q3, k, v, lengths, seed, geom: AttnGeom, rate, interpret):
     b, ng, nq, d = q3.shape
-    k, v = _pad_tk(k), _pad_tk(v)
+    k, v = _pad_tk(k, geom), _pad_tk(v, geom)
     tk = k.shape[1]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, geom, rate, bool(interpret)),
@@ -322,7 +333,7 @@ def _fwd_call(q3, k, v, lengths, seed, geom: AttnGeom, rate, interpret):
 def _bwd_call(q3, k, v, lengths, seed, do, geom: AttnGeom, rate, interpret):
     b, ng, nq, d = q3.shape
     tk_real = k.shape[1]
-    k, v = _pad_tk(k), _pad_tk(v)
+    k, v = _pad_tk(k, geom), _pad_tk(v, geom)
     tk = k.shape[1]
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, geom, rate, bool(interpret)),
