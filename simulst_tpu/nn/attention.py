@@ -18,6 +18,7 @@ from simulst_tpu.nn.core import dropout, linear, linear_init, neg_inf
 from simulst_tpu.ops.ffn_pallas import seed_from_rng
 from simulst_tpu.ops.linear_res_pallas import (fused_linear_drop_res,
                                                linear_res_supported)
+from simulst_tpu.ops.mha_pallas import fused_mha, mha_pallas_supported
 
 
 def mha_init(key, embed_dim: int, num_heads: int, kdim: Optional[int] = None,
@@ -107,18 +108,31 @@ def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
         qp = linear(p["q_proj"], query)
         kp = linear(p["k_proj"], key)
         vp = linear(p["v_proj"], value)
-    q = _split_heads(qp, num_heads)
-    k = _split_heads(kp, num_heads)
-    v = _split_heads(vp, num_heads)
-    bias = attn_bias
-    if causal:
-        tq, tk = q.shape[2], k.shape[2]
-        cb = jnp.where(jnp.arange(tk)[None, :] > jnp.arange(tq)[:, None],
-                       neg_inf(q.dtype), 0.0)
-        bias = cb if bias is None else bias + cb
-    out, probs = attend(q, k, v, bias=bias, key_valid=key_valid,
-                        dropout_rate=dropout_rate, rng=rng, deterministic=deterministic)
-    merged = _merge_heads(out)
+    if attn_bias is None and mha_pallas_supported(qp, kp, num_heads):
+        # fused attention core: heads, masks, fp32 softmax and dropout all
+        # stay in VMEM (ops/mha_pallas.py); probs are not materialized —
+        # every full-sequence caller discards them
+        rate = 0.0 if deterministic or rng is None else dropout_rate
+        seed = (seed_from_rng(rng) if rate > 0.0
+                else jnp.zeros((1,), jnp.int32))
+        kmask = (jnp.ones(kp.shape[:2], jnp.int32) if key_valid is None
+                 else key_valid.astype(jnp.int32))
+        merged = fused_mha(qp, kp, vp, kmask, seed, num_heads, causal, rate)
+        probs = None
+    else:
+        q = _split_heads(qp, num_heads)
+        k = _split_heads(kp, num_heads)
+        v = _split_heads(vp, num_heads)
+        bias = attn_bias
+        if causal:
+            tq, tk = q.shape[2], k.shape[2]
+            cb = jnp.where(jnp.arange(tk)[None, :] > jnp.arange(tq)[:, None],
+                           neg_inf(q.dtype), 0.0)
+            bias = cb if bias is None else bias + cb
+        out, probs = attend(q, k, v, bias=bias, key_valid=key_valid,
+                            dropout_rate=dropout_rate, rng=rng,
+                            deterministic=deterministic)
+        merged = _merge_heads(out)
     if epilogue is not None:
         res, ep_rate, ep_rng = epilogue
         w = p["out_proj"]["weight"]

@@ -1,0 +1,255 @@
+"""Fused multi-head attention core for the decoder/MT stacks.
+
+The XLA path (nn/attention.attend) materializes per layer, fwd and bwd: the
+(B, H, T, hd) head split/merge transposes, fp32 score tensors and dropout
+masks in HBM — profiling the 32x1024 train step showed ~0.3 ms/step of
+(B, T, H, hd) copies+reshapes plus the scattered score fusions for the six
+decoder layers.
+
+This kernel computes the whole attention core (post q/k/v projection, pre
+out_proj) for a block of batch rows entirely in VMEM:
+
+  * heads are static lane slices of the projected (T, D) tensors — no head
+    transpose ever exists in HBM;
+  * the additive mask is built on the VPU from a causal iota and/or a
+    per-example key-validity row (any (B, Tk) bool mask works — it rides in
+    as int32);
+  * softmax runs in fp32 in VMEM; attention dropout uses the on-core PRNG
+    seeded per grid tile so backward regenerates bit-identical masks;
+  * backward (custom_vjp) recomputes probabilities flash-attention-style;
+    each tile owns its batch rows outright, so dk/dv accumulate nowhere.
+
+Semantics match nn/attention.attend (fp32 softmax, dtype-cast probs) except
+the dropout mask source (on-core PRNG vs jax.random), like the FFN kernel.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _batch_block(b: int) -> int:
+    for bb in (8, 4, 2):
+        if b % bb == 0:
+            return bb
+    return 1
+
+
+def _bias_rows(causal: bool, m_ref, b, tq, tk):
+    """fp32 additive mask (Tq, Tk) from the int32 validity row (+causal)."""
+    valid = (m_ref[b, :] > 0)[None, :]                     # (1, Tk)
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        valid = valid & (ki <= qi)
+    return jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+
+
+def _probs(num_heads, rate, exact_div, q, k, bias, draw):
+    """Per-head fp32 probs (h, Tq, Tk) and dropped probs.  Compiled kernels
+    normalize with the VPU's approximate reciprocal (~2^-14 rel err, below
+    bf16 resolution); interpret mode divides exactly."""
+    hd = q.shape[-1] // num_heads
+    scale = np.float32(hd ** -0.5)
+    probs = []
+    for h in range(num_heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = k[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias
+        s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+        e = jnp.exp(s)
+        denom = e.sum(axis=-1, keepdims=True)
+        probs.append(e / denom if exact_div
+                     else e * pl.reciprocal(denom, approx=True))
+    p = jnp.stack(probs, axis=0)
+    if rate > 0.0:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+        thresh = np.uint32(min(int(round((1.0 - rate) * 2.0 ** 32)),
+                               2 ** 32 - 1))
+        pd = jnp.where(bits < thresh, p * np.float32(1.0 / (1.0 - rate)), 0.0)
+    else:
+        pd = p
+    return p, pd
+
+
+def _fwd_kernel(num_heads, causal, rate, exact_div,
+                seed_ref, m_ref, q_ref, k_ref, v_ref, o_ref):
+    bb, tq, d = q_ref.shape
+    tk = k_ref.shape[1]
+    hd = d // num_heads
+    dtype = q_ref.dtype
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    for b in range(bb):
+        bias = _bias_rows(causal, m_ref, b, tq, tk)
+        q, k, v = q_ref[b], k_ref[b], v_ref[b]
+        _, pd = _probs(num_heads, rate, exact_div, q, k, bias, b)
+        outs = []
+        for h in range(num_heads):
+            vh = v[:, h * hd:(h + 1) * hd]
+            outs.append(jnp.dot(pd[h].astype(dtype), vh,
+                                preferred_element_type=jnp.float32
+                                ).astype(dtype))
+        o_ref[b] = jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel(num_heads, causal, rate, exact_div,
+                seed_ref, m_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref):
+    bb, tq, d = q_ref.shape
+    tk = k_ref.shape[1]
+    hd = d // num_heads
+    dtype = q_ref.dtype
+    scale = np.float32(hd ** -0.5)
+    if rate > 0.0:
+        # identical seed + draw order as forward -> bit-identical masks
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    for b in range(bb):
+        bias = _bias_rows(causal, m_ref, b, tq, tk)
+        q, k, v, do = q_ref[b], k_ref[b], v_ref[b], do_ref[b]
+        p, pd = _probs(num_heads, rate, exact_div, q, k, bias, b)
+        if rate > 0.0:
+            drop_scale = jnp.where(pd != 0.0,
+                                   np.float32(1.0 / (1.0 - rate)), 0.0)
+        dqs, dks, dvs = [], [], []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+            dvs.append(jax.lax.dot_general(
+                pd[h].astype(dtype), doh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+            dpd = jax.lax.dot_general(
+                doh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = dpd * drop_scale[h] if rate > 0.0 else dpd
+            ph = p[h]
+            ds = ph * (dp - (dp * ph).sum(axis=-1, keepdims=True))
+            ds = (ds * scale).astype(dtype)
+            dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32
+                               ).astype(dtype))
+            dks.append(jax.lax.dot_general(
+                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
+        dk_ref[b] = jnp.concatenate(dks, axis=-1)
+        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+
+
+def _interpret_mode(flag):
+    return pltpu.InterpretParams() if flag else False
+
+
+def _specs(bb, tq, tk, d):
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, tk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, tq, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, tk, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, tk, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd_call(qp, kp, vp, kmask, seed, num_heads, causal, rate, interpret):
+    b, tq, d = qp.shape
+    tk = kp.shape[1]
+    bb = _batch_block(b)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads, causal, rate,
+                          bool(interpret)),
+        grid=(b // bb,),
+        in_specs=_specs(bb, tq, tk, d),
+        out_specs=pl.BlockSpec((bb, tq, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq, d), qp.dtype),
+        interpret=_interpret_mode(interpret),
+    )(seed, kmask, qp, kp, vp)
+
+
+def _bwd_call(qp, kp, vp, kmask, seed, do, num_heads, causal, rate,
+              interpret):
+    b, tq, d = qp.shape
+    tk = kp.shape[1]
+    bb = _batch_block(b)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads, causal, rate,
+                          bool(interpret)),
+        grid=(b // bb,),
+        in_specs=_specs(bb, tq, tk, d) + [
+            pl.BlockSpec((bb, tq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((bb, tq, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tk, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, tk, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, tq, d), qp.dtype),
+            jax.ShapeDtypeStruct((b, tk, d), kp.dtype),
+            jax.ShapeDtypeStruct((b, tk, d), vp.dtype),
+        ),
+        interpret=_interpret_mode(interpret),
+    )(seed, kmask, qp, kp, vp, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_mha(qp, kp, vp, kmask, seed, num_heads, causal=False, rate=0.0,
+              interpret=False):
+    """Fused attention core (post-projection, pre-out_proj).
+
+    qp: (B, Tq, D) projected queries; kp/vp: (B, Tk, D) projected keys and
+    values; kmask: (B, Tk) int32, nonzero where the key is attendable;
+    seed: (1,) int32 for attention dropout.  Returns the merged (B, Tq, D)
+    attention output.
+    """
+    return _fwd_call(qp, kp, vp, kmask, seed, num_heads, causal, rate,
+                     interpret)
+
+
+def _mha_fwd(qp, kp, vp, kmask, seed, num_heads, causal, rate, interpret):
+    out = _fwd_call(qp, kp, vp, kmask, seed, num_heads, causal, rate,
+                    interpret)
+    return out, (qp, kp, vp, kmask, seed)
+
+
+def _mha_bwd(num_heads, causal, rate, interpret, res, g):
+    qp, kp, vp, kmask, seed = res
+    dq, dk, dv = _bwd_call(qp, kp, vp, kmask, seed, g, num_heads, causal,
+                           rate, interpret)
+    return (dq, dk, dv,
+            np.zeros(kmask.shape, jax.dtypes.float0),
+            np.zeros(seed.shape, jax.dtypes.float0))
+
+
+fused_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_pallas_supported(qp, kp, num_heads: int) -> bool:
+    """Gate: TPU backend, lane-aligned feature dims, shapes big enough to
+    tile, batch divisible by a block."""
+    if os.environ.get("SIMULST_NO_FUSED_MHA"):
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    b, tq, d = qp.shape
+    tk = kp.shape[1]
+    if d % 128 != 0 or (d // num_heads) % 8 != 0:
+        return False
+    if tq % 8 != 0 or tk % 8 != 0:
+        return False
+    return b % 2 == 0 and qp.dtype == kp.dtype
