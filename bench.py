@@ -283,8 +283,8 @@ def bench_train_step(dtype_name="bfloat16"):
             loss, _ = joint_ctc_loss(logits, extra, tokens, lcfg)
             return loss / (B * U)
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        gn = jax.tree_util.tree_reduce(
-            lambda a, g: a + (g.astype(jnp.float32) ** 2).sum(), grads, 0.0)
+        from simulst_tpu.train.optim import global_sumsq
+        gn = global_sumsq(grads)
         return tc + loss.astype(jnp.float32) + gn * 1e-12
 
     # chain steps inside one dispatch like the streaming metrics: the real

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -36,8 +38,54 @@ def inverse_sqrt_schedule(cfg: OptimConfig):
     return schedule
 
 
+def global_sumsq(tree) -> jnp.ndarray:
+    """Sum of squares over every array leaf, fp32.
+
+    Equal to optax.global_norm(tree)**2, but built to compile into FEW
+    kernels: profiling the 32x1024 train step showed the per-leaf scalar
+    reduces of the naive form costing ~0.7 ms/step (264 reduce fusions —
+    one per parameter leaf, each launch-overhead bound).  Small leaves
+    (biases, LayerNorms) are raveled into ONE concatenated buffer with a
+    single reduce; only the ~40 big weight matrices keep per-leaf reduces
+    (their reduce is bandwidth-bound, not overhead-bound)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype")]
+    small = [l.ravel().astype(jnp.float32) for l in leaves if l.size < 65536]
+    big = [l for l in leaves if l.size >= 65536]
+    tot = jnp.zeros((), jnp.float32)
+    if small:
+        flat = small[0] if len(small) == 1 else jnp.concatenate(small)
+        tot = tot + (flat * flat).sum()
+    if big:
+        tot = tot + jnp.stack(
+            [(l.astype(jnp.float32) ** 2).sum() for l in big]).sum()
+    return tot
+
+
+def global_norm(tree) -> jnp.ndarray:
+    """Flat-reduce twin of optax.global_norm (see global_sumsq)."""
+    return jnp.sqrt(global_sumsq(tree))
+
+
+def clip_by_global_norm_flat(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm semantics (g * max_norm/max(norm, max_norm))
+    with the norm computed via global_sumsq.  Same EmptyState, so checkpoint
+    opt_state trees are unchanged."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = global_norm(updates)
+        scale = max_norm / jnp.maximum(norm, max_norm)
+        return jax.tree_util.tree_map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: OptimConfig):
-    tx = [optax.clip_by_global_norm(cfg.clip_norm)] if cfg.clip_norm > 0 else []
+    tx = [clip_by_global_norm_flat(cfg.clip_norm)] if cfg.clip_norm > 0 else []
     tx.append(optax.scale_by_adam(b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                                   eps=cfg.adam_eps))
     if cfg.weight_decay > 0:

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from simulst_tpu.train.optim import OptimConfig, make_optimizer
+from simulst_tpu.train.optim import OptimConfig, global_norm, make_optimizer
 
 
 class TrainState(NamedTuple):
@@ -90,7 +90,7 @@ def make_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
                     lambda g: jnp.where(frozen, 0.0, g), grads[comp])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        gnorm = global_norm(grads)
         # non-finite gradients (bf16 overflow, bad batch) skip the update
         # entirely — params, optimizer moments and step stay put (the
         # fairseq trainer's overflow behavior, minus loss scaling which
@@ -139,7 +139,7 @@ def make_accum_train_step(loss_fn: Callable, optim_cfg: OptimConfig,
                     lambda g: jnp.where(frozen, 0.0, g), grads[comp])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        gnorm = global_norm(grads)
         ok = jnp.isfinite(gnorm)                    # see make_train_step
         params = jax.tree.map(
             lambda n, o: jnp.where(ok, n, o), params, state.params)

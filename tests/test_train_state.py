@@ -125,3 +125,39 @@ def test_nonfinite_grads_skip_update():
     np.testing.assert_array_equal(np.asarray(state2.params["w"]), w1)
     state3, m3 = step(state2, {"x": jnp.ones((4,))}, jax.random.PRNGKey(0))
     assert int(state3.step) == 2 and float(m3["skipped"]) == 0.0
+
+
+def test_flat_global_norm_matches_optax():
+    """global_sumsq/global_norm/clip_by_global_norm_flat are drop-in
+    equivalents of the optax forms (they exist purely to compile into fewer
+    reduce kernels; see train/optim.py)."""
+    import optax
+    from simulst_tpu.train.optim import (clip_by_global_norm_flat,
+                                         global_norm, global_sumsq)
+    rng = np.random.RandomState(0)
+    tree = {
+        "big": jnp.asarray(rng.randn(300, 300).astype(np.float32)),
+        "bf16": jnp.asarray(rng.randn(257, 513).astype(np.float32)).astype(jnp.bfloat16),
+        "small": [jnp.asarray(rng.randn(7).astype(np.float32)),
+                  jnp.asarray(rng.randn(1, 5).astype(np.float32))],
+        "scalar": jnp.asarray(3.0),
+    }
+    # fp64 numpy reference (ours accumulates bf16 leaves in fp32, which is
+    # MORE accurate than optax's in-dtype vdot — compare both to the truth)
+    want = np.sqrt(sum(np.asarray(l, np.float64).ravel() @
+                       np.asarray(l, np.float64).ravel()
+                       for l in jax.tree_util.tree_leaves(tree)))
+    np.testing.assert_allclose(np.asarray(global_norm(tree)), want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(global_sumsq(tree)), want ** 2,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(optax.global_norm(tree)), want,
+                               rtol=2e-2)  # sanity: same quantity
+    for clip in (0.1, 5.0, 1e9):
+        ours, _ = clip_by_global_norm_flat(clip).update(tree, optax.EmptyState())
+        ref, _ = optax.clip_by_global_norm(clip).update(tree, optax.EmptyState())
+        for a, b in zip(jax.tree_util.tree_leaves(ours),
+                        jax.tree_util.tree_leaves(ref)):
+            # rtol covers the bf16-leaf rounding (one ulp = 2^-8) on top
+            # of the accumulation-precision scale difference
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32), rtol=1e-2)
