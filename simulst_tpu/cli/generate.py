@@ -122,11 +122,16 @@ def decode_batch_mma(model, params, batch, beam_cfg: BeamConfig,
                        batch["feats"].shape[0], beam_cfg, prefix_tokens)
 
 
-def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
-    """Greedy emit-scan decode over the full lattice (the reference's
-    incremental decode with the forced emit at the source EOS,
-    transducer_model.py:165-209; beam search is not defined for this path)."""
-    from simulst_tpu.models.transducer import downsample_pool
+def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig,
+                            prefix_tokens=None):
+    """Offline transducer decode over the emit-scan lattice path: greedy or
+    beam over the per-step emit distribution.  The reference runs fairseq's
+    SequenceGenerator over TransducerDecoder's incremental forward (the
+    forced-emit-at-source-EOS scan, transducer_model.py:165-209, via
+    eval/eval_transducer.sh + generate.py:201-207), so its beam hypotheses
+    each carry their own emit cursor; here that cursor (prev_emit) lives in
+    TransducerState and is gathered on beam reorder like the KV caches."""
+    from simulst_tpu.models.transducer import TransducerState, downsample_pool
     cfg = model.cfg
     enc = s2t.encoder_forward(params["encoder"], cfg,
                               jnp.asarray(batch["feats"]),
@@ -134,7 +139,11 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
     src, src_lens = downsample_pool(enc.encoder_out, enc.lengths,
                                     cfg.downsample)
     b = batch["feats"].shape[0]
-    state = model.init_decode_state(b, beam_cfg.max_len + 1)
+    beam = beam_cfg.beam_size
+    if beam > 1:
+        src = jnp.repeat(src, beam, axis=0)
+        src_lens = jnp.repeat(src_lens, beam, axis=0)
+    state = model.init_decode_state(src.shape[0], beam_cfg.max_len + 1)
 
     step = jax.jit(lambda st, tok: model.decode_step(params, st, tok, src,
                                                      src_lens, online=False))
@@ -143,10 +152,21 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig):
         logits, _, st = step(st, tokens)
         return logits, st
 
-    # greedy only: first decode = bos(=blank), reference replaces it
-    tokens, lengths = greedy_decode(step_fn, state, b, beam_cfg,
-                                    bos=cfg.blank_idx)
-    return tokens, lengths
+    # first decode input = bos(=blank), reference replaces the front EOS
+    if beam == 1:
+        return greedy_decode(step_fn, state, b, beam_cfg,
+                             bos=cfg.blank_idx, prefix_tokens=prefix_tokens)
+
+    def reorder_fn(st, idx):
+        return TransducerState(
+            caches=tuple(attn_mod.KVCache(k=c.k[idx], v=c.v[idx],
+                                          length=c.length[idx])
+                         for c in st.caches),
+            prev_emit=st.prev_emit[idx], step=st.step[idx])
+
+    res = beam_search(step_fn, state, b, beam_cfg, reorder_fn,
+                      prefix_tokens=prefix_tokens, bos=cfg.blank_idx)
+    return res.tokens[:, 0], res.lengths[:, 0]
 
 
 def decode_batch(model, params, batch, beam_cfg: BeamConfig,

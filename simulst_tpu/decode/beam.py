@@ -42,7 +42,8 @@ class BeamResult(NamedTuple):
 
 
 def beam_search(step_fn: Callable, init_state, batch_size: int,
-                cfg: BeamConfig, reorder_fn: Callable, prefix_tokens=None):
+                cfg: BeamConfig, reorder_fn: Callable, prefix_tokens=None,
+                bos: int = None):
     """step_fn(state, tokens (N,)) -> (logits (N, V), new_state) where
     N = batch*beam (states must be built with that batch dim).
     reorder_fn(state, idx (N,)) -> state gathered along the batch axis.
@@ -56,6 +57,9 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
     constrained to start with its row's non-PAD prefix (fairseq
     --prefix-size semantics: the prefix token keeps its model score, all
     other continuations are masked).
+
+    bos overrides the seed input token (default eos, the fairseq
+    convention; the transducer starts from blank).
     """
     bsz, beam = batch_size, cfg.beam_size
     n = bsz * beam
@@ -67,7 +71,8 @@ def beam_search(step_fn: Callable, init_state, batch_size: int,
             x, idx.reshape(bsz, -1, *([1] * (x.ndim - 2))), axis=1)
 
     tokens0 = jnp.full((bsz, beam, L + 1), cfg.pad_idx, jnp.int32)
-    tokens0 = tokens0.at[:, :, 0].set(cfg.eos_idx)  # fairseq seeds with EOS
+    tokens0 = tokens0.at[:, :, 0].set(
+        cfg.eos_idx if bos is None else bos)    # fairseq seeds with EOS
     scores0 = jnp.where(jnp.arange(beam)[None, :] == 0, 0.0, NEG)
     scores0 = jnp.broadcast_to(scores0, (bsz, beam))
     bank_tokens0 = jnp.full((bsz, beam, L), cfg.pad_idx, jnp.int32)

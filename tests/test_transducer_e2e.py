@@ -98,3 +98,49 @@ def test_streaming_agent_emits(setup):
     # with per-word delays within the utterance duration
     assert len(words) == len(delays)
     assert all(0 < d <= 760.0 for d in delays), delays
+
+
+def test_offline_beam_decode(setup):
+    """Beam search over the emit-scan path (the reference runs fairseq's
+    SequenceGenerator over TransducerDecoder's incremental forward —
+    transducer_model.py:165-209): the chosen hypothesis must score at least
+    as well as greedy under the model's own per-step log-probs, replayed
+    through the same step function."""
+    from simulst_tpu.cli.generate import decode_batch
+    from simulst_tpu.decode.beam import BeamConfig
+    from simulst_tpu.models.transducer import downsample_pool
+    from simulst_tpu.models import s2t_emformer as s2t
+
+    v, cfg, model, params, feats, lengths, prev = setup
+    batch = {"feats": np.asarray(feats), "feat_lengths": np.asarray(lengths)}
+    bcfg = BeamConfig(beam_size=1, max_len=8)
+    g_tokens, g_lens = decode_batch(model, params, batch, bcfg)
+    bcfg4 = BeamConfig(beam_size=4, max_len=8)
+    b_tokens, b_lens = decode_batch(model, params, batch, bcfg4)
+    assert b_tokens.shape == (2, 8) and (np.asarray(b_lens) >= 1).all()
+
+    # replay a hypothesis through decode_step, summing log-probs
+    enc = s2t.encoder_forward(params["encoder"], cfg, feats, lengths)
+    src, src_lens = downsample_pool(enc.encoder_out, enc.lengths,
+                                    cfg.downsample)
+
+    def replay_score(tokens, lens):
+        state = model.init_decode_state(2, 16)
+        prev_t = jnp.full((2,), cfg.blank_idx, jnp.int32)
+        total = np.zeros(2)
+        tokens = np.asarray(tokens)
+        for t in range(tokens.shape[1]):
+            logits, _, state = model.decode_step(params, state, prev_t, src,
+                                                 src_lens, online=False)
+            lp = np.asarray(jax.nn.log_softmax(
+                logits.astype(jnp.float32), -1))
+            for i in range(2):
+                if t < int(lens[i]):
+                    total[i] += lp[i, tokens[i, t]]
+            prev_t = jnp.asarray(tokens[:, t])
+        # length-normalized, as the search scores hypotheses
+        return total / np.maximum(np.asarray(lens), 1)
+
+    gs = replay_score(g_tokens, g_lens)
+    bs = replay_score(b_tokens, b_lens)
+    assert (bs >= gs - 1e-4).all(), (bs, gs)
