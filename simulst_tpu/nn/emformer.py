@@ -187,6 +187,23 @@ def _pos_ff(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
     return y
 
 
+def _attn_softmax(scores):
+    """Clamp-stabilized softmax over the last axis (fp32 in, fp32 out).
+
+    exp(min(s, 80)) / (sum + 1e-30) instead of jax.nn.softmax: the fused
+    attention kernel (ops/emformer_attn_pallas._probs_fwd) uses this form
+    because the row-max reduce measured ~0.05 ms/layer/pass on the VPU while
+    scores beyond 80 are unreachable for LN-bounded inputs; every XLA
+    attention path here uses the SAME form so kernel and fallback stay
+    numerically interchangeable.  Rows with no visible keys (all scores at
+    the -1e9/-3e4 mask) come out as exact ZEROS — cleaner than
+    jax.nn.softmax's uniform distribution over masked keys; no in-repo
+    consumer reads such rows (they sit beyond the example's length and are
+    length-masked downstream)."""
+    e = jnp.exp(jnp.minimum(scores, np.float32(80.0)))
+    return e / (e.sum(axis=-1, keepdims=True) + np.float32(1e-30))
+
+
 def _attend(q, k, v, num_heads: int, bias, key_valid, *, rate=0.0, rng=None,
             deterministic=True):
     """q: (B,Tq,D), k/v: (B,Tk,D); bias (Tq,Tk) additive fp32 or None."""
@@ -200,7 +217,7 @@ def _attend(q, k, v, num_heads: int, bias, key_valid, *, rate=0.0, rng=None,
         scores = scores + bias[None, None]
     if key_valid is not None:
         scores = jnp.where(key_valid[:, None, None, :], scores, neg_inf(q.dtype))
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = _attn_softmax(scores).astype(q.dtype)
     probs = dropout(rng, probs, rate, deterministic)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(b, tq, d)
@@ -463,7 +480,7 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     ni = neg_inf(q.dtype)
     scores = jnp.where(key_valid[:, :, None, None, :], scores, ni)
     scores = jnp.where(jnp.asarray(allowed_np)[None, None, None], scores, ni)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = _attn_softmax(scores).astype(q.dtype)
     probs = dropout(next(rngs), probs, cfg.attention_dropout, deterministic)
     out = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, ng, nq, d)
@@ -531,7 +548,7 @@ def _segmented_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
         col_is_mem = jnp.arange(ctx) < m_slots
         block = row_is_summary[:, None] & col_is_mem[None, :]
         scores = jnp.where(block[None, None, None], ni, scores)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    probs = _attn_softmax(scores).astype(q.dtype)
     probs = dropout(next(rngs), probs, cfg.attention_dropout, deterministic)
     out = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, n, nq, d)
@@ -965,7 +982,7 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
             # summary rows must not attend the memory slots
             block = (jnp.arange(nq) == nq - 1)[:, None] & (jnp.arange(ctx) < M)[None, :]
             scores = jnp.where(block[None, None, None], ni, scores)
-            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            probs = _attn_softmax(scores).astype(q.dtype)
             probs = dropout(next(rngs), probs, cfg.attention_dropout,
                             deterministic)
             o = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
