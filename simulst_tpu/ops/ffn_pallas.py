@@ -39,58 +39,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 
-# Rational GELU (Pallas TPU lowers no erf, and transcendentals on the VPU
-# dominated the kernel: decomposition showed the activation costing ~10x the
-# MXU matmuls).  Both Phi(u)-0.5 = 0.5*erf(u/sqrt2) and dgelu(u)-0.5 are ODD,
-# so each is u * P(t)/Q(t) with t = u^2 — Pade-style least-squares fits on
-# [0, 36] (clamped outside |u| <= 6).  Round-3 re-fit at [3/3]/[3/3] after
-# measuring the activation as the kernel wall, with the LS error weighted in
-# gelu/dgelu space (u^2 resp. u): max abs error 1.4e-4 (gelu value) /
-# 1.1e-4 (derivative) vs the exact erf forms — still ~30x below bf16's 2^-8
-# resolution, and three fewer fp32 madds per element than the round-2
-# [4/4]/[5/4] fits (which measured ~0.23 ms/layer vs relu).
-_GELU_S_P = np.array([3.98692554e-01, 3.56137274e-02, 3.71465642e-03,
-                      2.44699535e-05], np.float32)
-_GELU_S_Q = np.array([1.0, 2.54625803e-01, 2.76505503e-02, 9.78094599e-04],
-                     np.float32)
-_GELU_D_P = np.array([7.98470218e-01, -2.94790745e-02, 1.48463408e-02,
-                      1.66193703e-04], np.float32)
-_GELU_D_Q = np.array([1.0, 0.29994645, 0.03872854, 0.0055461], np.float32)
+# Tanh-form GELU (Pallas TPU lowers no erf).  gelu(u) ~ u * sigmoid(2g),
+# g = sqrt(2/pi) * (u + 0.044715 u^3) — the standard "approximate" GELU
+# (torch GELU(approximate='tanh'); 0.5(1+tanh g) == sigmoid(2g)).  Round-3
+# history: round 2 fit Pade-style rationals u*P(u^2)/Q(u^2) for gelu and
+# dgelu on the assumption that transcendentals dominate the VPU; bisecting
+# the attention kernel then showed exp PIPELINES FOR FREE on this chip while
+# Horner madd chains are the real wall.  Measured at the 12288x2048 LN-FFN
+# kernel (one layer, fwd/bwd): rational 0.409/0.695 ms, tanh-gelu
+# 0.341/0.602 ms (as fast as relu), ~1.9 ms/step across 12 layers.  Max
+# error vs the exact erf form: 4.7e-4 in value / ~1.1e-3 in derivative —
+# both well under bf16's 2^-8 ulp (the round-2 rationals were 1.4e-4/1.1e-4;
+# the extra error is invisible at bf16 activation precision).  The backward
+# shares g and sigma between f and df (df = s + 2 u s (1-s) g').
+_GELU_C = np.float32(0.7978845608028654)   # sqrt(2/pi)
+_GELU_A = np.float32(0.044715)
 
 
-def _horner(t, coefs):
-    acc = jnp.full_like(t, coefs[-1])
-    for c in coefs[-2::-1]:
-        acc = acc * t + c
-    return acc
-
-
-def _odd_poly(uf, pq, clamp_val, exact_div=False):
-    """u * P(u^2)/Q(u^2) for |u| <= 6, +-clamp_val outside (fp32 in/out).
-    Compiled kernels use the VPU's approximate reciprocal (~2^-14 rel err,
-    far below bf16 resolution and the fits' own 1e-5-level error; worth
-    ~2 ms/step); interpret mode (exact_div) divides normally — its
+def _gelu_sigmoid(uf, exact_div: bool):
+    """(g', sigmoid(2g)) for the tanh-form GELU, fp32.  Compiled kernels
+    use the VPU's approximate reciprocal (~2^-14 rel err, far below bf16
+    resolution); interpret mode (exact_div) divides normally — its
     reciprocal emulation is unreliable."""
-    p_co, q_co = pq
-    t = jnp.minimum(uf * uf, 36.0)
-    q = _horner(t, q_co)
-    f = _horner(t, p_co) * (1.0 / q if exact_div
-                            else pl.reciprocal(q, approx=True))
-    return jnp.where(uf * uf > 36.0, jnp.sign(uf) * clamp_val, uf * f)
+    u2 = uf * uf
+    g = _GELU_C * uf * (1.0 + _GELU_A * u2)
+    gp = _GELU_C * (1.0 + 3.0 * _GELU_A * u2)
+    den = 1.0 + jnp.exp(-2.0 * g)
+    s = 1.0 / den if exact_div else pl.reciprocal(den, approx=True)
+    return gp, s
 
 
 def _act_pair(name: str, exact_div: bool = False):
     """(f, df) for the supported activations; f/df take and return fp32
     (the kernels keep the hidden pre-activation in fp32 to avoid cast
-    passes).  gelu tracks the exact erf form to ~2e-5 via the rationals
-    above."""
+    passes).  gelu is the tanh form (see above, ~5e-4 of exact erf)."""
     if name == "gelu":
         def f(uf):
-            s = _odd_poly(uf, (_GELU_S_P, _GELU_S_Q), 0.5, exact_div)
-            return uf * (0.5 + s)
+            _, s = _gelu_sigmoid(uf, exact_div)
+            return uf * s
 
         def df(uf):
-            return 0.5 + _odd_poly(uf, (_GELU_D_P, _GELU_D_Q), 0.5, exact_div)
+            gp, s = _gelu_sigmoid(uf, exact_div)
+            return s + 2.0 * uf * s * (1.0 - s) * gp
 
         return f, df
     if name == "relu":

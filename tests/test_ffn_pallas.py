@@ -60,15 +60,21 @@ def test_deterministic_grads_match_reference():
 
 
 def test_gelu_polynomial_accuracy():
-    # [3/3] rationals: 1.4e-4 (value) / 1.1e-4 (derivative) max abs error —
-    # ~30x below bf16's 2^-8 resolution
+    # tanh-form GELU: ~4.7e-4 (value) / ~1.1e-3 (derivative) max abs error
+    # vs the exact erf form — well below bf16's 2^-8 resolution (3.9e-3).
+    # df must also be the TRUE derivative of f (not just near dgelu_exact):
+    # the custom VJP relies on f/df consistency.
     u = jnp.linspace(-8.0, 8.0, 4001, dtype=jnp.float32)
     from simulst_tpu.ops.ffn_pallas import _act_pair
     f, df = _act_pair("gelu", exact_div=True)  # no kernel context
     exact = jax.nn.gelu(u, approximate=False)
-    np.testing.assert_allclose(np.asarray(f(u)), np.asarray(exact), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f(u)), np.asarray(exact), atol=6e-4)
     dexact = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(u)
-    np.testing.assert_allclose(np.asarray(df(u)), np.asarray(dexact), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(df(u)), np.asarray(dexact),
+                               atol=1.5e-3)
+    dself = jax.vmap(jax.grad(f))(u)
+    np.testing.assert_allclose(np.asarray(df(u)), np.asarray(dself),
+                               atol=1e-5)
 
 
 def test_dropout_scaling_and_vjp_consistency():
