@@ -41,36 +41,44 @@ def _batch_block(b: int) -> int:
     return 1
 
 
-def _bias_rows(causal: bool, m_ref, b, tq, tk):
-    """fp32 additive mask (Tq, Tk) from the int32 validity row (+causal)."""
-    valid = (m_ref[b, :] > 0)[None, :]                     # (1, Tk)
+def _bias_block(causal: bool, m_ref, tq, tk):
+    """fp32 additive mask (bb, Tq, Tk) from the int32 validity rows
+    (+causal).  Built once per grid step for the whole batch block."""
+    valid = (m_ref[:, :] > 0)[:, None, :]                  # (bb, 1, Tk)
     if causal:
         qi = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
         ki = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
-        valid = valid & (ki <= qi)
+        valid = valid & (ki <= qi)[None]
     return jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
 
 
-def _probs(num_heads, rate, exact_div, q, k, bias, draw):
-    """Per-head fp32 probs (h, Tq, Tk) and dropped probs.  Compiled kernels
-    normalize with the VPU's approximate reciprocal (~2^-14 rel err, below
-    bf16 resolution); interpret mode divides exactly."""
+def _probs(num_heads, rate, exact_div, q, k, bias):
+    """Per-head fp32 probs (h, bb, Tq, Tk) and dropped probs.
+
+    Matmuls are BATCHED over the bb examples of the block (Mosaic supports
+    one batch dim): one (bb)-batched dot per head instead of bb*h tiny
+    matmuls — measured ~18% faster at the decoder geometry.  Softmax uses
+    the same clamp stabilization as the emformer kernel
+    (ops/emformer_attn_pallas._probs_fwd: exp(min(s, 80)), +1e-30 denom;
+    the row-max reduce was the measured cost, exp pipelines for free).
+    Compiled kernels normalize with the VPU's approximate reciprocal
+    (~2^-14 rel err, below bf16 resolution); interpret mode divides
+    exactly."""
     hd = q.shape[-1] // num_heads
     scale = np.float32(hd ** -0.5)
     probs = []
     for h in range(num_heads):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = k[:, h * hd:(h + 1) * hd]
+        qh = q[:, :, h * hd:(h + 1) * hd]                  # (bb, Tq, hd)
+        kh = k[:, :, h * hd:(h + 1) * hd]                  # (bb, Tk, hd)
         s = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale    # (bb, Tq, Tk)
         s = s + bias
-        s = s - jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
-        e = jnp.exp(s)
-        denom = e.sum(axis=-1, keepdims=True)
+        e = jnp.exp(jnp.minimum(s, np.float32(80.0)))
+        denom = e.sum(axis=-1, keepdims=True) + np.float32(1e-30)
         probs.append(e / denom if exact_div
                      else e * pl.reciprocal(denom, approx=True))
-    p = jnp.stack(probs, axis=0)
+    p = jnp.stack(probs, axis=0)                           # (h, bb, Tq, Tk)
     if rate > 0.0:
         bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
         thresh = np.uint32(min(int(round((1.0 - rate) * 2.0 ** 32)),
@@ -89,17 +97,17 @@ def _fwd_kernel(num_heads, causal, rate, exact_div,
     dtype = q_ref.dtype
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    for b in range(bb):
-        bias = _bias_rows(causal, m_ref, b, tq, tk)
-        q, k, v = q_ref[b], k_ref[b], v_ref[b]
-        _, pd = _probs(num_heads, rate, exact_div, q, k, bias, b)
-        outs = []
-        for h in range(num_heads):
-            vh = v[:, h * hd:(h + 1) * hd]
-            outs.append(jnp.dot(pd[h].astype(dtype), vh,
-                                preferred_element_type=jnp.float32
-                                ).astype(dtype))
-        o_ref[b] = jnp.concatenate(outs, axis=-1)
+    bias = _bias_block(causal, m_ref, tq, tk)
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]
+    _, pd = _probs(num_heads, rate, exact_div, q, k, bias)
+    outs = []
+    for h in range(num_heads):
+        vh = v[:, :, h * hd:(h + 1) * hd]
+        outs.append(jax.lax.dot_general(
+            pd[h].astype(dtype), vh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
 def _bwd_kernel(num_heads, causal, rate, exact_div,
@@ -113,36 +121,36 @@ def _bwd_kernel(num_heads, causal, rate, exact_div,
     if rate > 0.0:
         # identical seed + draw order as forward -> bit-identical masks
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    for b in range(bb):
-        bias = _bias_rows(causal, m_ref, b, tq, tk)
-        q, k, v, do = q_ref[b], k_ref[b], v_ref[b], do_ref[b]
-        p, pd = _probs(num_heads, rate, exact_div, q, k, bias, b)
-        if rate > 0.0:
-            drop_scale = jnp.where(pd != 0.0,
-                                   np.float32(1.0 / (1.0 - rate)), 0.0)
-        dqs, dks, dvs = [], [], []
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
-            dvs.append(jax.lax.dot_general(
-                pd[h].astype(dtype), doh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-            dpd = jax.lax.dot_general(
-                doh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = dpd * drop_scale[h] if rate > 0.0 else dpd
-            ph = p[h]
-            ds = ph * (dp - (dp * ph).sum(axis=-1, keepdims=True))
-            ds = (ds * scale).astype(dtype)
-            dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32
-                               ).astype(dtype))
-            dks.append(jax.lax.dot_general(
-                ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        dq_ref[b] = jnp.concatenate(dqs, axis=-1)
-        dk_ref[b] = jnp.concatenate(dks, axis=-1)
-        dv_ref[b] = jnp.concatenate(dvs, axis=-1)
+    bias = _bias_block(causal, m_ref, tq, tk)
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
+    p, pd = _probs(num_heads, rate, exact_div, q, k, bias)
+    if rate > 0.0:
+        drop_scale = jnp.where(pd != 0.0, np.float32(1.0 / (1.0 - rate)), 0.0)
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh, doh = q[:, :, sl], k[:, :, sl], v[:, :, sl], do[:, :, sl]
+        # dv_h = pd^T @ do (batched over bb)
+        dvs.append(jax.lax.dot_general(
+            pd[h].astype(dtype), doh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype))
+        dpd = jax.lax.dot_general(
+            doh, vh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp = dpd * drop_scale[h] if rate > 0.0 else dpd
+        ph = p[h]
+        ds = ph * (dp - (dp * ph).sum(axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, kh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype))
+        dks.append(jax.lax.dot_general(
+            ds, qh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype))
+    dq_ref[:] = jnp.concatenate(dqs, axis=-1)
+    dk_ref[:] = jnp.concatenate(dks, axis=-1)
+    dv_ref[:] = jnp.concatenate(dvs, axis=-1)
 
 
 def _interpret_mode(flag):
