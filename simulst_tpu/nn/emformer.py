@@ -1011,3 +1011,114 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
                   in_specs=(P(None, seq_axis, None), P(), P()),
                   out_specs=P(None, seq_axis, None), check_vma=False)
     return f(utterance, tail_rc, lengths)
+
+
+def emformer_forward_pipelined(params, cfg: EmformerConfig, x, lengths,
+                               mesh, pipe_axis: str = "pipe",
+                               n_micro: int = None, *, rng=None,
+                               deterministic: bool = True):
+    """Pipeline-parallel TRAINING/offline forward (GPipe-style).
+
+    The num_layers Emformer layers split into mesh.shape[pipe_axis]
+    contiguous stages; each device holds only its stage's parameters
+    (stacked layer params sharded over the pipe axis).  The batch splits
+    into n_micro microbatches (default = number of stages) that flow
+    through the stages in the standard n_micro + P - 1 tick schedule, the
+    (utterance, rc_blocks, mems, lengths) activation hopping stage->stage
+    over ICI (ppermute).  Output equals emformer_forward's utterance
+    encoding exactly when deterministic; with rng/deterministic=False each
+    (layer, microbatch) folds its indices into the key (a different valid
+    dropout draw than the single-device path, like the seq-sharded runner).
+    Differentiable: jax.grad through the shard_map runs the reverse-order
+    pipeline automatically (ppermute transposes to the reverse permutation).
+    The reference has data parallelism only (SURVEY.md §2.6).
+
+    Demo-scale notes: microbatch inputs/outputs are replicated across
+    stages rather than streamed host->stage0 / stageP-1->host, and the
+    per-tick final-layer outputs are all_gathered at the end — right for
+    validating the schedule and shardings (the driver's virtual mesh),
+    wasteful for a production input pipeline.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n_stage = mesh.shape[pipe_axis]
+    L = cfg.num_layers
+    assert L % n_stage == 0, (L, n_stage)
+    lpp = L // n_stage
+    B = x.shape[0]
+    n_micro = n_micro or n_stage
+    assert B % n_micro == 0, (B, n_micro)
+    mbs = B // n_micro
+
+    U = x.shape[1] - cfg.right_context
+    utterance = x[:, :U]
+    idx = jnp.asarray(_rc_gather_indices(U, cfg.segment, cfg.right_context))
+    rc_blocks = jnp.take(x, idx, axis=1)
+    mask = jnp.asarray(_training_mask_np(U, cfg.segment, cfg.left_context,
+                                         cfg.right_context, cfg.max_memory,
+                                         cfg.use_mem))
+    if cfg.use_mem:
+        n = _num_segs(U, cfg.segment)
+        mems0 = _segment_means(utterance, cfg.segment)[:, :n - 1]
+    else:
+        mems0 = utterance[:, :0]
+
+    def split(a):
+        return a.reshape(n_micro, mbs, *a.shape[1:])
+
+    utt_s, rcb_s, mem_s = split(utterance), split(rc_blocks), split(mems0)
+    len_s = lengths.reshape(n_micro, mbs)
+
+    # (n_stage, lpp, *leaf) stacked stage parameters, sharded on axis 0
+    stacked = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls).reshape(n_stage, lpp, *ls[0].shape),
+        *params["layers"])
+
+    perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+    n_tick = n_micro + n_stage - 1
+
+    def body(stage_params, utt_s, rcb_s, mem_s, len_s):
+        ax = jax.lax.axis_index(pipe_axis)
+        sp = jax.tree_util.tree_map(lambda a: a[0], stage_params)  # (lpp,...)
+        zero = (jnp.zeros_like(utt_s[0]), jnp.zeros_like(rcb_s[0]),
+                jnp.zeros_like(mem_s[0]), jnp.zeros_like(len_s[0]))
+
+        def tick(act, t):
+            m = jnp.clip(t, 0, n_micro - 1)
+            inject = tuple(
+                jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
+                for a in (utt_s, rcb_s, mem_s, len_s))
+            first = ax == 0
+            out, rcb, mems, lens = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(first, a, b), inject, act)
+            for i in range(lpp):
+                lp = jax.tree_util.tree_map(lambda a: a[i], sp)
+                lrng = None
+                if rng is not None and not deterministic:
+                    lrng = jax.random.fold_in(
+                        jax.random.fold_in(rng, ax * lpp + i), m)
+                out, rcb, mems = _layer_forward(lp, cfg, out, rcb, mems,
+                                                lens, mask, lrng,
+                                                deterministic)
+            y = (out, rcb, mems, lens)
+            nxt = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a, pipe_axis, perm), y)
+            return nxt, out
+
+        _, outs = jax.lax.scan(tick, zero, jnp.arange(n_tick))
+        # microbatch m finishes on the LAST stage at tick m + n_stage - 1
+        outs = jax.lax.all_gather(outs, pipe_axis)       # (P, T, mbs, U, D)
+        final = outs[n_stage - 1, n_stage - 1:]          # (n_micro, mbs, U, D)
+        return final.reshape(B, U, final.shape[-1])
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(pipe_axis), P(), P(), P(), P()),
+                  out_specs=P(), check_vma=False)
+    out = f(stacked, utt_s, rcb_s, mem_s, len_s)
+    if cfg.normalize_before:
+        out = layer_norm(params["final_ln"], out)
+    return out
