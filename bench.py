@@ -255,14 +255,15 @@ def _peak_flops(dtype) -> float:
     return peak
 
 
-def bench_train_step(dtype_name="bfloat16"):
-    """Jitted fwd+bwd at the 32x1024 geometry (rbg dropout keys, the train
-    CLI default)."""
+def bench_train_step(dtype_name="bfloat16", B=32):
+    """Jitted fwd+bwd at the Bx1024 geometry (rbg dropout keys, the train
+    CLI default).  B=32 is the headline (comparable across rounds); the
+    B=64 extra shows throughput with fixed costs amortized."""
     jax.config.update("jax_default_prng_impl", "rbg")
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
 
-    B, T, U = 32, 1024, 64
+    T, U = 1024, 64
     cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
                                 compute_dtype=dtype_name)
     model = s2t.S2TEmformerModel(cfg)
@@ -386,6 +387,10 @@ def main():
     extra["train_frames_per_sec"] = round(fps)
     if mfu is not None:
         extra["train_mfu"] = round(mfu, 4)
+    b64_ms, b64_fps, b64_mfu = bench_train_step(B=64)
+    extra["train_b64_step_latency_ms"] = round(b64_ms, 3)
+    extra["train_b64_frames_per_sec"] = round(b64_fps)
+    extra["train_b64_mfu"] = round(b64_mfu, 4)
     print(json.dumps({"metric": "train_step_latency",
                       "value": round(train_ms, 3), "unit": "ms",
                       "vs_baseline": round(fps),
