@@ -1016,7 +1016,8 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
 def emformer_forward_pipelined(params, cfg: EmformerConfig, x, lengths,
                                mesh, pipe_axis: str = "pipe",
                                n_micro: int = None, *, rng=None,
-                               deterministic: bool = True):
+                               deterministic: bool = True,
+                               data_axis: str = None):
     """Pipeline-parallel TRAINING/offline forward (GPipe-style).
 
     The num_layers Emformer layers split into mesh.shape[pipe_axis]
@@ -1032,6 +1033,11 @@ def emformer_forward_pipelined(params, cfg: EmformerConfig, x, lengths,
     Differentiable: jax.grad through the shard_map runs the reverse-order
     pipeline automatically (ppermute transposes to the reverse permutation).
     The reference has data parallelism only (SURVEY.md §2.6).
+
+    data_axis: optional second mesh axis composing dp x pp on one 2-D mesh —
+    each microbatch's examples shard over it (collectives stay scoped to
+    pipe_axis, so the data columns pipeline independently; the data-parallel
+    gradient psum comes from the param sharding outside, as usual).
 
     Demo-scale notes: microbatch inputs/outputs are replicated across
     stages rather than streamed host->stage0 / stageP-1->host, and the
@@ -1053,6 +1059,8 @@ def emformer_forward_pipelined(params, cfg: EmformerConfig, x, lengths,
     n_micro = n_micro or n_stage
     assert B % n_micro == 0, (B, n_micro)
     mbs = B // n_micro
+    n_data = mesh.shape[data_axis] if data_axis else 1
+    assert mbs % n_data == 0, (mbs, n_data)
 
     U = x.shape[1] - cfg.right_context
     utterance = x[:, :U]
@@ -1111,14 +1119,18 @@ def emformer_forward_pipelined(params, cfg: EmformerConfig, x, lengths,
 
         _, outs = jax.lax.scan(tick, zero, jnp.arange(n_tick))
         # microbatch m finishes on the LAST stage at tick m + n_stage - 1
-        outs = jax.lax.all_gather(outs, pipe_axis)       # (P, T, mbs, U, D)
-        final = outs[n_stage - 1, n_stage - 1:]          # (n_micro, mbs, U, D)
-        return final.reshape(B, U, final.shape[-1])
+        outs = jax.lax.all_gather(outs, pipe_axis)       # (P, T, mbs', U, D)
+        return outs[n_stage - 1, n_stage - 1:]           # (n_micro, mbs', U, D)
 
+    # activations replicate over the data axis only in the degenerate 1-D
+    # case; with data_axis each data column pipelines its own batch shard
+    dspec = data_axis if data_axis else None
     f = shard_map(body, mesh=mesh,
-                  in_specs=(P(pipe_axis), P(), P(), P(), P()),
-                  out_specs=P(), check_vma=False)
-    out = f(stacked, utt_s, rcb_s, mem_s, len_s)
+                  in_specs=(P(pipe_axis), P(None, dspec), P(None, dspec),
+                            P(None, dspec), P(None, dspec)),
+                  out_specs=P(None, dspec), check_vma=False)
+    final = f(stacked, utt_s, rcb_s, mem_s, len_s)       # (n_micro, mbs, U, D)
+    out = final.reshape(B, U, final.shape[-1])
     if cfg.normalize_before:
         out = layer_norm(params["final_ln"], out)
     return out

@@ -89,3 +89,18 @@ def test_pipelined_dropout_runs_and_is_deterministic():
                                    deterministic=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_pipelined_composes_with_data_parallel():
+    """dp x pp on one 2-D mesh: each data column pipelines its own batch
+    shard; output equals the single-device forward."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+    params = emformer_init(jax.random.PRNGKey(0), CFG)
+    x, lengths = _inputs(B=4)
+    want, _ = emformer_forward(params, CFG, x, lengths)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("pipe", "data"))
+    got = emformer_forward_pipelined(params, CFG, x, lengths, mesh,
+                                     n_micro=2, data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
