@@ -36,7 +36,7 @@ def test_deterministic_matches_reference(activation):
     x, w1, b1, w2, b2 = _params(jax.random.PRNGKey(0))
     y_k = fused_ffn(x, w1, b1, w2, b2, SEED, activation, 0.0, 0.0, INTERP)
     y_r = ffn_reference(x, w1, b1, w2, b2, None, None, activation)
-    # gelu uses a 2e-5-accurate odd polynomial instead of erf
+    # gelu is the tanh form (~5e-4 of exact erf)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r),
                                atol=2e-3, rtol=1e-3)
 
