@@ -16,12 +16,22 @@ def to_dict(cfg) -> Dict[str, Any]:
 
 
 def from_dict(cls: Type, d: Dict[str, Any]):
+    """Build the dataclass from a dict, coercing scalars to the field's
+    annotated type: values arriving from checkpoint metadata / yaml can be
+    numpy scalars or mis-typed (e.g. a float-stamped int), and a non-python
+    int reaching a jaxpr parameter (conv feature_group_count, static loop
+    bounds) is rejected by jax."""
+    coerce = {"int": int, "float": float, "bool": bool, "str": str}
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():
         if k in fields:
             if isinstance(v, list):
                 v = tuple(v)
+            ann = fields[k].type
+            name = ann if isinstance(ann, str) else getattr(ann, "__name__", "")
+            if v is not None and name in coerce:
+                v = coerce[name](v)
             kwargs[k] = v
     return cls(**kwargs)
 

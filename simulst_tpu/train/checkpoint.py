@@ -74,6 +74,26 @@ def _host_restore_args(ckptr, path):
     return to_args(tree)
 
 
+def _pythonize(tree):
+    """Metadata round-trip sanitizer: orbax restores every saved scalar as a
+    numpy array (the host-restore args force np.ndarray for anything with
+    shape+dtype), but metadata is a plain-python dict at save time — model
+    configs rebuilt from it must get plain ints/floats/bools/strs back.  A
+    numpy 0-d int reaching e.g. conv_general_dilated's feature_group_count
+    is rejected by jax (unhashable jaxpr param) — caught by the round-3
+    hardware smoke when stream_eval rebuilt a config from a checkpoint."""
+    import numpy as np
+    if isinstance(tree, dict):
+        return {k: _pythonize(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_pythonize(v) for v in tree)
+    if isinstance(tree, np.ndarray):
+        return tree.item() if tree.ndim == 0 else tree.tolist()
+    if isinstance(tree, np.generic):
+        return tree.item()
+    return tree
+
+
 def load_checkpoint(path: str, template=None, to_device: bool = True):
     """Restore (state, metadata) to HOST memory. `template` (a matching
     pytree) rebuilds the restored tree into the template's structure
@@ -87,6 +107,8 @@ def load_checkpoint(path: str, template=None, to_device: bool = True):
     restored = ckptr.restore(path, restore_args=_host_restore_args(ckptr, path))
     state = restored["state"]
     meta = restored.get("metadata") or None
+    if meta is not None:
+        meta = _pythonize(meta)
     if template is not None:
         state = conform_tree(template, state)
     elif to_device:

@@ -190,3 +190,37 @@ def test_patience_counts_epoch_end_validations_only(tmp_path):
     assert tr.bad_epochs == 2
     tr._maybe_save_best({"loss": 0.5}, count_patience=True)   # new best resets
     assert tr.bad_epochs == 0
+
+
+def test_checkpoint_metadata_roundtrips_to_python_types(tmp_path):
+    """Metadata scalars must come back as PLAIN python values: orbax
+    restores every saved scalar as a numpy array, and a numpy 0-d int
+    flowing from checkpoint metadata into a rebuilt model config reaches
+    jaxpr parameters (e.g. conv feature_group_count) that reject
+    non-hashable values — caught by the round-3 hardware smoke when
+    stream_eval rebuilt a CIF config from a fresh checkpoint."""
+    from simulst_tpu import config as cfglib
+    from simulst_tpu.models.s2t_emformer import S2TEmformerConfig
+
+    vocab = Vocabulary.build(["a b"], vocab_size=8)
+    model = _model(vocab)
+    p = model.init(jax.random.PRNGKey(0))
+    meta_in = {"model": "s2t_emformer", "cmvn": "global",
+               "config": {"conv_pos_groups": 16, "cif_beta": 1.0,
+                          "ctc_layer": True}}
+    save_checkpoint(str(tmp_path / "c"), p, metadata=meta_in)
+    _, meta = load_checkpoint(str(tmp_path / "c"))
+    cfgd = meta["config"]
+    assert type(cfgd["conv_pos_groups"]) is int, type(cfgd["conv_pos_groups"])
+    assert type(cfgd["cif_beta"]) is float
+    assert type(cfgd["ctc_layer"]) is bool
+    assert meta["model"] == "s2t_emformer" and isinstance(meta["model"], str)
+
+    # and from_dict coerces even un-sanitized numpy scalars by annotation
+    cfg = cfglib.from_dict(S2TEmformerConfig,
+                           {"conv_pos_groups": np.int64(16),
+                            "dropout": np.float32(0.1),
+                            "vocab_size": np.asarray(40)})
+    assert type(cfg.conv_pos_groups) is int
+    assert type(cfg.dropout) is float
+    assert type(cfg.vocab_size) is int
