@@ -46,6 +46,9 @@ class S2TEmformerConfig:
     right_context: int = 32
     max_memory: int = 5
     tanh_on_mem: bool = True
+    # rematerialize each encoder layer in backward (jax.checkpoint) — for
+    # long-utterance training memory; reachable via --override remat=true
+    remat: bool = False
     ctc_layer: bool = False
     no_scale_embedding: bool = False
     # decoder
@@ -82,7 +85,8 @@ class S2TEmformerConfig:
             left_context=self.left_context // s,
             right_context=self.right_context // s,
             segment=self.segment_length // s,
-            max_memory=self.max_memory, tanh_on_mem=self.tanh_on_mem)
+            max_memory=self.max_memory, tanh_on_mem=self.tanh_on_mem,
+            remat=self.remat)
 
     @property
     def decoder(self) -> tfm.DecoderConfig:
