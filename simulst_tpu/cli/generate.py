@@ -27,12 +27,12 @@ from simulst_tpu.train.checkpoint import load_checkpoint
 
 
 def _run_search(step_fn, dstate, reorder_fn, b, beam_cfg: BeamConfig,
-                prefix_tokens=None):
+                prefix_tokens=None, bos=None):
     if beam_cfg.beam_size == 1:
-        return greedy_decode(step_fn, dstate, b, beam_cfg,
+        return greedy_decode(step_fn, dstate, b, beam_cfg, bos=bos,
                              prefix_tokens=prefix_tokens)
     res = beam_search(step_fn, dstate, b, beam_cfg, reorder_fn,
-                      prefix_tokens=prefix_tokens)
+                      prefix_tokens=prefix_tokens, bos=bos)
     return res.tokens[:, 0], res.lengths[:, 0]
 
 
@@ -152,11 +152,6 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig,
         logits, _, st = step(st, tokens)
         return logits, st
 
-    # first decode input = bos(=blank), reference replaces the front EOS
-    if beam == 1:
-        return greedy_decode(step_fn, state, b, beam_cfg,
-                             bos=cfg.blank_idx, prefix_tokens=prefix_tokens)
-
     def reorder_fn(st, idx):
         return TransducerState(
             caches=tuple(attn_mod.KVCache(k=c.k[idx], v=c.v[idx],
@@ -164,9 +159,9 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig,
                          for c in st.caches),
             prev_emit=st.prev_emit[idx], step=st.step[idx])
 
-    res = beam_search(step_fn, state, b, beam_cfg, reorder_fn,
-                      prefix_tokens=prefix_tokens, bos=cfg.blank_idx)
-    return res.tokens[:, 0], res.lengths[:, 0]
+    # first decode input = bos(=blank), reference replaces the front EOS
+    return _run_search(step_fn, state, reorder_fn, b, beam_cfg,
+                       prefix_tokens=prefix_tokens, bos=cfg.blank_idx)
 
 
 def decode_batch(model, params, batch, beam_cfg: BeamConfig,
@@ -182,7 +177,8 @@ def decode_batch(model, params, batch, beam_cfg: BeamConfig,
         return decode_batch_mma(model, params, batch, beam_cfg,
                                 prefix_tokens=prefix_tokens)
     if isinstance(model, TransducerModel):
-        return decode_batch_transducer(model, params, batch, beam_cfg)
+        return decode_batch_transducer(model, params, batch, beam_cfg,
+                                       prefix_tokens=prefix_tokens)
     return _run_search(*_build_std(model, params, batch, beam_cfg),
                        batch["feats"].shape[0], beam_cfg, prefix_tokens)
 

@@ -21,7 +21,18 @@ def from_dict(cls: Type, d: Dict[str, Any]):
     numpy scalars or mis-typed (e.g. a float-stamped int), and a non-python
     int reaching a jaxpr parameter (conv feature_group_count, static loop
     bounds) is rejected by jax."""
-    coerce = {"int": int, "float": float, "bool": bool, "str": str}
+    def to_bool(v):
+        # bool("False") is True — string forms must be parsed, not cast
+        if isinstance(v, str):
+            low = v.strip().lower()
+            if low in ("true", "1", "yes"):
+                return True
+            if low in ("false", "0", "no"):
+                return False
+            raise ValueError(f"can't interpret {v!r} as bool")
+        return bool(v)
+
+    coerce = {"int": int, "float": float, "bool": to_bool, "str": str}
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():

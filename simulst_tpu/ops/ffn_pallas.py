@@ -60,11 +60,15 @@ def _gelu_sigmoid(uf, exact_div: bool):
     """(g', sigmoid(2g)) for the tanh-form GELU, fp32.  Compiled kernels
     use the VPU's approximate reciprocal (~2^-14 rel err, far below bf16
     resolution); interpret mode (exact_div) divides normally — its
-    reciprocal emulation is unreliable."""
+    reciprocal emulation is unreliable.  The exponent argument is clamped
+    at 80: for u <= ~-10.9, exp(-2g) would overflow fp32 to +inf and
+    correctness would hinge on reciprocal(inf); clamped, s underflows to a
+    clean ~2e-35 (so gelu(u) -> -0 exactly as it should) with no effect
+    anywhere |u| < 10 (the old rational clamped at |u| = 6)."""
     u2 = uf * uf
     g = _GELU_C * uf * (1.0 + _GELU_A * u2)
     gp = _GELU_C * (1.0 + 3.0 * _GELU_A * u2)
-    den = 1.0 + jnp.exp(-2.0 * g)
+    den = 1.0 + jnp.exp(jnp.minimum(-2.0 * g, np.float32(80.0)))
     s = 1.0 / den if exact_div else pl.reciprocal(den, approx=True)
     return gp, s
 

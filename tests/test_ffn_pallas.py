@@ -64,7 +64,9 @@ def test_gelu_polynomial_accuracy():
     # vs the exact erf form — well below bf16's 2^-8 resolution (3.9e-3).
     # df must also be the TRUE derivative of f (not just near dgelu_exact):
     # the custom VJP relies on f/df consistency.
-    u = jnp.linspace(-8.0, 8.0, 4001, dtype=jnp.float32)
+    # range deliberately reaches past u = -10.9 where the unclamped
+    # exp(-2g) would overflow fp32 to +inf (the exponent is clamped at 80)
+    u = jnp.linspace(-30.0, 30.0, 6001, dtype=jnp.float32)
     from simulst_tpu.ops.ffn_pallas import _act_pair
     f, df = _act_pair("gelu", exact_div=True)  # no kernel context
     exact = jax.nn.gelu(u, approximate=False)

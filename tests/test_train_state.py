@@ -161,3 +161,19 @@ def test_flat_global_norm_matches_optax():
             # of the accumulation-precision scale difference
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32), rtol=1e-2)
+
+
+def test_from_dict_coerces_scalars_and_parses_bool_strings():
+    """from_dict must coerce numpy scalars by field annotation and PARSE
+    bool strings (bool("False") is True — a silent model-changing footgun
+    for yaml/--override values)."""
+    import pytest
+    from simulst_tpu import config as cfglib
+    from simulst_tpu.models.s2t_emformer import S2TEmformerConfig
+    c = cfglib.from_dict(S2TEmformerConfig,
+                         {"ctc_layer": "False", "remat": "true",
+                          "conv_pos_groups": np.float64(16.0)})
+    assert c.ctc_layer is False and c.remat is True
+    assert type(c.conv_pos_groups) is int and c.conv_pos_groups == 16
+    with pytest.raises(ValueError):
+        cfglib.from_dict(S2TEmformerConfig, {"ctc_layer": "maybe"})
