@@ -211,9 +211,12 @@ def _ctc_ab_bwd(blank, zero_infinity, with_smooth, res, gys):
         new = jnp.where(live, new, beta)
         return new, d_em
 
-    xs = (em_all[::-1], alphas[::-1], jnp.arange(t)[::-1])
-    _, d_em_rev = jax.lax.scan(step, beta_last, xs, unroll=8)
-    d_em = d_em_rev[::-1]                                      # (T, B, S)
+    # reverse=True walks xs back-to-front and stacks ys at their original
+    # indices — no reversed (T, B, S) replay buffers ever materialize
+    # (the [::-1] form cost three reverse+copy pairs in the profile)
+    xs = (em_all, alphas, jnp.arange(t))
+    _, d_em = jax.lax.scan(step, beta_last, xs, unroll=8,
+                           reverse=True)                       # (T, B, S)
 
     # one fused (B, T, V) pass: scatter + d_lse * softmax [- smooth const]
     onehot = jax.nn.one_hot(labels, v, dtype=jnp.float32)      # (B, S, V)
