@@ -168,6 +168,33 @@ def main():
         print("mma scores:", scores_m)
         assert scores_m["BLEU"] > 20.0, f"mma streaming BLEU low: {scores_m}"
 
+    if os.environ.get("SMOKE_TRANSDUCER"):
+        # rnnt lattice memory scales with B*S*U*V: cap the batch (the tone
+        # vocab is tiny so V is small, but keep the smoke cheap)
+        save_t = os.path.join(work, "ckpt_transducer")
+        run(py + ["simulst_tpu.cli.train", "--data", data, "--task", "st",
+                  "--model", "transducer", "--loss", "rnnt",
+                  "--cmvn", "global", "--lr", "1e-3",
+                  "--warmup-updates", "100", "--max-tokens", "4000",
+                  "--max-updates", "1000", "--eval-metric", "bleu",
+                  "--save-dir", save_t] + common_model)
+        run(py + ["simulst_tpu.cli.average_checkpoints", "--dir", save_t,
+                  "--n", "2", "--output",
+                  os.path.join(save_t, "checkpoint_avg")])
+        out_t = os.path.join(work, "simul_out_transducer")
+        run(py + ["simulst_tpu.cli.stream_eval",
+                  "--source", os.path.join(data, "dev.wav_list"),
+                  "--target", os.path.join(data, "dev.de"),
+                  "--checkpoint", os.path.join(save_t, "checkpoint_avg"),
+                  "--vocab", os.path.join(data, "spm_unigram4096_st.txt"),
+                  "--agent", "transducer", "--fused", "--batch-size", "4",
+                  "--scan-sessions", "--global-cmvn",
+                  os.path.join(data, "gcmvn.npz"), "--output", out_t])
+        scores_t = json.load(open(os.path.join(out_t, "scores")))
+        print("transducer scores:", scores_t)
+        assert scores_t["BLEU"] > 15.0, \
+            f"transducer streaming BLEU low: {scores_t}"
+
     print("SMOKE OK:", work)
 
 
