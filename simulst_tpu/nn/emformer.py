@@ -879,7 +879,8 @@ def _shift_from_right(x, axis_name: str, n_dev: int):
 
 def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
                                  mesh, seq_axis: str = "seq", *, rng=None,
-                                 deterministic: bool = True):
+                                 deterministic: bool = True,
+                                 data_axis: str = None):
     """Sequence-parallel TRAINING/offline forward.
 
     x: (B, U + right_context, D) — like emformer_forward; U must be a
@@ -892,6 +893,10 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
     the run is reproducible given the key (they are a DIFFERENT valid draw
     than the single-device path's, exactly like the reference's DDP workers
     each drawing their own torch dropout masks).
+
+    data_axis: optional second mesh axis composing dp x sp on one 2-D mesh —
+    the batch shards over it while the halo ppermutes stay scoped to
+    seq_axis, so each data column processes its own examples.
     """
     from jax.sharding import PartitionSpec as P
     try:
@@ -1007,9 +1012,10 @@ def emformer_forward_seq_sharded(params, cfg: EmformerConfig, x, lengths,
             out = layer_norm(params["final_ln"], out)
         return out
 
+    dspec = data_axis if data_axis else None
     f = shard_map(body, mesh=mesh,
-                  in_specs=(P(None, seq_axis, None), P(), P()),
-                  out_specs=P(None, seq_axis, None), check_vma=False)
+                  in_specs=(P(dspec, seq_axis, None), P(dspec), P(dspec)),
+                  out_specs=P(dspec, seq_axis, None), check_vma=False)
     return f(utterance, tail_rc, lengths)
 
 

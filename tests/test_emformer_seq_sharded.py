@@ -154,3 +154,29 @@ def test_seq_sharded_grads_flow():
     gsum = jax.tree_util.tree_reduce(
         lambda a, l: a + float(jnp.abs(l).sum()), g, 0.0)
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_seq_sharded_composes_with_data_parallel():
+    """dp x sp on one 2-D mesh: batch shards over the data axis while the
+    halo exchanges stay seq-scoped; output equals single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual device mesh")
+    import numpy as np
+    params = emformer_init(jax.random.PRNGKey(0), CFG)
+    S, n_seq = CFG.segment, 4
+    n_loc = 2
+    U = n_seq * n_loc * S
+    rng = np.random.RandomState(1)
+    B = 4
+    x = rng.randn(B, U + CFG.right_context, CFG.input_dim).astype(np.float32)
+    lengths = np.full((B,), U, np.int32)
+    lengths[2] = U - 5
+    x[2, U - 5:U] = 0.0
+    want, _ = emformer_forward(params, CFG, jnp.asarray(x),
+                               jnp.asarray(lengths))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("seq", "data"))
+    got = emformer_forward_seq_sharded(params, CFG, jnp.asarray(x),
+                                       jnp.asarray(lengths), mesh,
+                                       data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
