@@ -142,19 +142,26 @@ def _ctc_ab_fwd(logits, input_lengths, targets, target_lengths,
     alpha0 = alpha0.at[:, 1].set(
         jnp.where(target_lengths > 0, em_all[0, :, 1], NEG))
 
-    def step(alpha, inp):
-        em, t_idx = inp
-        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
-        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
-        a2 = jnp.where(can_skip, a2, NEG)
-        new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
-        live = (t_idx < input_lengths)[:, None]
-        new = jnp.where(live, new, alpha)
-        return new, new
+    if _ctc_block(b, 2, t, s) > 0:
+        # Pallas DP kernel (exactly equal to the scan; see alphas_pallas)
+        alphas = alphas_pallas(em_all, can_skip, input_lengths,
+                               target_lengths)
+        alpha_last = alphas[-1]
+    else:
+        def step(alpha, inp):
+            em, t_idx = inp
+            a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
+            a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
+            a2 = jnp.where(can_skip, a2, NEG)
+            new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+            live = (t_idx < input_lengths)[:, None]
+            new = jnp.where(live, new, alpha)
+            return new, new
 
-    xs = (em_all[1:], jnp.arange(1, t))
-    alpha_last, alphas_tail = jax.lax.scan(step, alpha0, xs, unroll=8)
-    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (T, B, S)
+        xs = (em_all[1:], jnp.arange(1, t))
+        alpha_last, alphas_tail = jax.lax.scan(step, alpha0, xs, unroll=8)
+        alphas = jnp.concatenate([alpha0[None], alphas_tail],
+                                 axis=0)                       # (T, B, S)
 
     end = 2 * target_lengths
     a_last = jnp.take_along_axis(alpha_last, end[:, None], axis=1)[:, 0]
@@ -197,26 +204,30 @@ def _ctc_ab_bwd(blank, zero_infinity, with_smooth, res, gys):
     # beta[t] excludes em[t] (combined with alpha[t] which includes it).
     scale = (-gy_nll) * jnp.where(keep, 1.0, 0.0)[:, None]     # (B, 1)
 
-    def step(beta, inp):
-        em, alpha, t_idx = inp
-        d_em = scale * jnp.exp(alpha + beta + nll_b[:, None])
-        live = (t_idx < input_lengths)[:, None]
-        d_em = jnp.where(live, d_em, 0.0)
-        # beta[t-1, s] = LSE_j em[t, s+j] + beta[t, s+j], j gated at dest
-        b0 = em + beta
-        b1 = jnp.pad(b0, ((0, 0), (0, 1)), constant_values=NEG)[:, 1:]
-        b2m = jnp.where(can_skip, b0, NEG)
-        b2 = jnp.pad(b2m, ((0, 0), (0, 2)), constant_values=NEG)[:, 2:]
-        new = jnp.logaddexp(jnp.logaddexp(b0, b1), b2)
-        new = jnp.where(live, new, beta)
-        return new, d_em
+    if _ctc_block(b, 3, t, s) > 0:
+        # Pallas DP kernel (exactly equal to the scan; see d_em_pallas)
+        d_em = d_em_pallas(em_all, alphas, can_skip, input_lengths,
+                           target_lengths, scale[:, 0], nll_b)
+    else:
+        def step(beta, inp):
+            em, alpha, t_idx = inp
+            d_em = scale * jnp.exp(alpha + beta + nll_b[:, None])
+            live = (t_idx < input_lengths)[:, None]
+            d_em = jnp.where(live, d_em, 0.0)
+            # beta[t-1, s] = LSE_j em[t, s+j] + beta[t, s+j], j gated at dest
+            b0 = em + beta
+            b1 = jnp.pad(b0, ((0, 0), (0, 1)), constant_values=NEG)[:, 1:]
+            b2m = jnp.where(can_skip, b0, NEG)
+            b2 = jnp.pad(b2m, ((0, 0), (0, 2)), constant_values=NEG)[:, 2:]
+            new = jnp.logaddexp(jnp.logaddexp(b0, b1), b2)
+            new = jnp.where(live, new, beta)
+            return new, d_em
 
-    # reverse=True walks xs back-to-front and stacks ys at their original
-    # indices — no reversed (T, B, S) replay buffers ever materialize
-    # (the [::-1] form cost three reverse+copy pairs in the profile)
-    xs = (em_all, alphas, jnp.arange(t))
-    _, d_em = jax.lax.scan(step, beta_last, xs, unroll=8,
-                           reverse=True)                       # (T, B, S)
+        # reverse=True walks xs back-to-front and stacks ys at their
+        # original indices — no reversed (T, B, S) replay buffers
+        xs = (em_all, alphas, jnp.arange(t))
+        _, d_em = jax.lax.scan(step, beta_last, xs, unroll=8,
+                               reverse=True)                   # (T, B, S)
 
     # one fused (B, T, V) pass: scatter + d_lse * softmax [- smooth const]
     onehot = jax.nn.one_hot(labels, v, dtype=jnp.float32)      # (B, S, V)
@@ -351,3 +362,151 @@ def alignment_to_labels(states, targets, blank: int = 0):
     __init__.py:103-111)."""
     labels = _ctc_labels(targets, blank)
     return jnp.take_along_axis(labels, states, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas DP kernels for the alpha/beta scans.
+#
+# The reference's ONLY custom CUDA kernel family is this CTC dynamic program
+# (best_alignment.cu:63-202; F.ctc_loss's cuDNN kernel); here the lax.scan
+# form is already device-native, but its per-step overhead dominates at the
+# (B, S) = (32, 129) state width (the VPU work per step is tiny).  These
+# kernels keep the whole (T, Bblk, S) emission/alpha panels resident in VMEM
+# and run the time recursion as an in-kernel fori_loop: alpha 0.30 -> 0.23 ms
+# at the 32x1024 train geometry, EXACTLY equal to the scan (same op order).
+# Gated to TPU + VMEM fit; SIMULST_NO_FUSED_CTC kills it.
+# ---------------------------------------------------------------------------
+
+def _ctc_block(b: int, n_arrays: int, t: int, s: int) -> int:
+    """Largest batch block whose VMEM panels fit ~10 MB."""
+    import os
+    if os.environ.get("SIMULST_NO_FUSED_CTC"):
+        return 0
+    if jax.default_backend() == "cpu":
+        return 0
+    s_pad = -(-s // 128) * 128
+    for blk in (16, 8, 4, 2, 1):
+        if b % blk == 0 and n_arrays * t * blk * s_pad * 4 <= 10 * 2 ** 20:
+            return blk
+    return 0
+
+
+def _alpha_kernel(t_len, s, blk, em_ref, skip_ref, len_ref, tl_ref, out_ref):
+    import functools as _f
+    from jax.experimental import pallas as pl
+    i = pl.program_id(0)
+    neg = jnp.float32(NEG)
+    skip = skip_ref[:] > 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (blk, s), 1)
+    tl = jnp.stack([tl_ref[i * blk + j] for j in range(blk)])[:, None]
+    il = jnp.stack([len_ref[i * blk + j] for j in range(blk)])[:, None]
+    em0 = em_ref[0]
+    a0 = jnp.where(iota == 0, em0,
+                   jnp.where((iota == 1) & (tl > 0), em0, neg))
+    out_ref[0] = a0
+    pad1 = jnp.full((blk, 1), neg)
+
+    def body(t, alpha):
+        em = em_ref[t]
+        a1 = jnp.concatenate([pad1, alpha[:, :s - 1]], axis=1)
+        a2 = jnp.concatenate([pad1, pad1, alpha[:, :s - 2]], axis=1)
+        a2 = jnp.where(skip, a2, neg)
+        new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+        new = jnp.where(t < il, new, alpha)
+        out_ref[t] = new
+        return new
+
+    jax.lax.fori_loop(1, t_len, body, a0)
+
+
+def _beta_kernel(t_len, s, blk, em_ref, alpha_ref, skip_ref, len_ref, tl_ref,
+                 scale_ref, nll_ref, dem_ref):
+    from jax.experimental import pallas as pl
+    i = pl.program_id(0)
+    neg = jnp.float32(NEG)
+    skip = skip_ref[:] > 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (blk, s), 1)
+    tl = jnp.stack([tl_ref[i * blk + j] for j in range(blk)])[:, None]
+    il = jnp.stack([len_ref[i * blk + j] for j in range(blk)])[:, None]
+    scale = jnp.stack([scale_ref[i * blk + j] for j in range(blk)])[:, None]
+    nll = jnp.stack([nll_ref[i * blk + j] for j in range(blk)])[:, None]
+    end = 2 * tl
+    beta0 = jnp.where(
+        (iota == end) | ((iota == jnp.maximum(end - 1, 0)) & (tl > 0)),
+        0.0, neg)
+    pad1 = jnp.full((blk, 1), neg)
+
+    def body(k, beta):
+        t = t_len - 1 - k
+        em = em_ref[t]
+        alpha = alpha_ref[t]
+        live = t < il
+        d_em = scale * jnp.exp(alpha + beta + nll)
+        dem_ref[t] = jnp.where(live, d_em, 0.0)
+        b0 = em + beta
+        b1 = jnp.concatenate([b0[:, 1:], pad1], axis=1)
+        b2m = jnp.where(skip, b0, neg)
+        b2 = jnp.concatenate([b2m[:, 2:], pad1, pad1], axis=1)
+        new = jnp.logaddexp(jnp.logaddexp(b0, b1), b2)
+        return jnp.where(live, new, beta)
+
+    jax.lax.fori_loop(0, t_len, body, beta0)
+
+
+def alphas_pallas(em_all, can_skip, input_lengths, target_lengths,
+                  interpret: bool = False):
+    """(T, B, S) alphas — Pallas twin of the fwd scan in _ctc_ab_fwd."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    t, b, s = em_all.shape
+    blk = b if interpret else _ctc_block(b, 2, t, s)
+    assert blk > 0
+    return pl.pallas_call(
+        functools.partial(_alpha_kernel, t, s, blk),
+        grid=(b // blk,),
+        in_specs=[
+            pl.BlockSpec((t, blk, s), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t, blk, s), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, s), jnp.float32),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(em_all, can_skip.astype(jnp.int32), input_lengths.astype(jnp.int32),
+      target_lengths.astype(jnp.int32))
+
+
+def d_em_pallas(em_all, alphas, can_skip, input_lengths, target_lengths,
+                scale, nll_b, interpret: bool = False):
+    """(T, B, S) d_em — Pallas twin of the bwd (beta) scan in _ctc_ab_bwd."""
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    t, b, s = em_all.shape
+    blk = b if interpret else _ctc_block(b, 3, t, s)
+    assert blk > 0
+    return pl.pallas_call(
+        functools.partial(_beta_kernel, t, s, blk),
+        grid=(b // blk,),
+        in_specs=[
+            pl.BlockSpec((t, blk, s), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, blk, s), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t, blk, s), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, s), jnp.float32),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(em_all, alphas, can_skip.astype(jnp.int32),
+      input_lengths.astype(jnp.int32), target_lengths.astype(jnp.int32),
+      scale.astype(jnp.float32), nll_b.astype(jnp.float32))

@@ -180,3 +180,73 @@ def test_ctc_raw_zero_infinity_grad_zeroed():
     assert np.abs(g[0]).max() == 0.0
     assert np.abs(g[1]).max() > 0.0
     assert np.isfinite(float(loss))
+
+
+def test_pallas_dp_kernels_match_scans_exactly():
+    """The Pallas alpha/beta DP kernels (interpret mode here) must equal the
+    lax.scan forms EXACTLY — same op order per step, so any disagreement is
+    a real indexing/masking bug (the kernels replace the reference's only
+    custom CUDA kernel family, best_alignment.cu / cuDNN CTC)."""
+    from simulst_tpu.ops.ctc import (NEG, _ctc_masks, _emissions, alphas_pallas,
+                                     d_em_pallas)
+    rng = np.random.RandomState(0)
+    B, T, V, L = 4, 23, 17, 6
+    logits = jnp.asarray(rng.randn(B, T, V).astype(np.float32)) * 2
+    in_len = jnp.asarray([23, 19, 23, 7], jnp.int32)
+    targets = jnp.asarray(rng.randint(4, V, (B, L)), jnp.int32)
+    tgt_len = jnp.asarray([6, 3, 6, 0], jnp.int32)
+
+    labels, can_skip = _ctc_masks(targets, 0)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    em_all = _emissions(logits, labels) - jnp.moveaxis(lse, 0, 1)[:, :, None]
+    s = labels.shape[1]
+
+    # scan alphas
+    alpha0 = jnp.full((B, s), NEG)
+    alpha0 = alpha0.at[:, 0].set(em_all[0, :, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(tgt_len > 0, em_all[0, :, 1], NEG))
+
+    def astep(alpha, inp):
+        em, t_idx = inp
+        a1 = jnp.pad(alpha, ((0, 0), (1, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.pad(alpha, ((0, 0), (2, 0)), constant_values=NEG)[:, :s]
+        a2 = jnp.where(can_skip, a2, NEG)
+        new = em + jnp.logaddexp(jnp.logaddexp(alpha, a1), a2)
+        new = jnp.where((t_idx < in_len)[:, None], new, alpha)
+        return new, new
+
+    _, tail = jax.lax.scan(astep, alpha0, (em_all[1:], jnp.arange(1, T)))
+    alphas_ref = jnp.concatenate([alpha0[None], tail], axis=0)
+    alphas_k = alphas_pallas(em_all, can_skip, in_len, tgt_len,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(alphas_k),
+                                  np.asarray(alphas_ref))
+
+    # scan betas / d_em
+    end = 2 * tgt_len
+    iota_s = jnp.arange(s)[None, :]
+    beta_last = jnp.where(
+        (iota_s == end[:, None])
+        | ((iota_s == jnp.maximum(end - 1, 0)[:, None])
+           & (tgt_len > 0)[:, None]), 0.0, NEG)
+    nll_b = jnp.asarray(rng.randn(B).astype(np.float32))
+    scale = jnp.asarray(rng.rand(B).astype(np.float32))
+
+    def bstep(beta, inp):
+        em, alpha, t_idx = inp
+        d_em = scale[:, None] * jnp.exp(alpha + beta + nll_b[:, None])
+        live = (t_idx < in_len)[:, None]
+        d_em = jnp.where(live, d_em, 0.0)
+        b0 = em + beta
+        b1 = jnp.pad(b0, ((0, 0), (0, 1)), constant_values=NEG)[:, 1:]
+        b2m = jnp.where(can_skip, b0, NEG)
+        b2 = jnp.pad(b2m, ((0, 0), (0, 2)), constant_values=NEG)[:, 2:]
+        new = jnp.logaddexp(jnp.logaddexp(b0, b1), b2)
+        return jnp.where(live, new, beta), d_em
+
+    _, d_em_ref = jax.lax.scan(bstep, beta_last,
+                               (em_all, alphas_ref, jnp.arange(T)),
+                               reverse=True)
+    d_em_k = d_em_pallas(em_all, alphas_ref, can_skip, in_len, tgt_len,
+                         scale, nll_b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_em_k), np.asarray(d_em_ref))
