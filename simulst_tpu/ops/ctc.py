@@ -351,9 +351,9 @@ def best_alignment(log_probs, input_lengths, targets, target_lengths,
         prev_state = jnp.where(active, state - ch, state)
         return prev_state, state
 
-    xs_rev = (choices[::-1], jnp.arange(t)[::-1])
-    _, states_rev = jax.lax.scan(bwd, start_state, xs_rev, unroll=8)
-    states = states_rev[::-1]                                   # (T, B)
+    xs_rev = (choices, jnp.arange(t))
+    _, states = jax.lax.scan(bwd, start_state, xs_rev, unroll=8,
+                             reverse=True)                      # (T, B)
     return jnp.moveaxis(states, 0, 1)                           # (B, T)
 
 
