@@ -378,15 +378,24 @@ def alignment_to_labels(states, targets, blank: int = 0):
 # ---------------------------------------------------------------------------
 
 def _ctc_block(b: int, n_arrays: int, t: int, s: int) -> int:
-    """Largest batch block whose VMEM panels fit ~10 MB."""
+    """Largest batch block whose VMEM panels fit ~10 MB.
+
+    Mosaic constrains the last two block dims to (multiple-of-8,
+    multiple-of-128) OR equal to the full array dims: S is never split
+    (always full), so the batch block must be a multiple of 8 or the whole
+    batch.  Returns 0 when nothing legal fits (the lax.scan path runs) —
+    e.g. long utterances whose (T, blk, S) panels exceed VMEM."""
     import os
     if os.environ.get("SIMULST_NO_FUSED_CTC"):
         return 0
     if jax.default_backend() == "cpu":
         return 0
     s_pad = -(-s // 128) * 128
-    for blk in (16, 8, 4, 2, 1):
-        if b % blk == 0 and n_arrays * t * blk * s_pad * 4 <= 10 * 2 ** 20:
+    cands = [blk for blk in (16, 8) if b % blk == 0]
+    if b not in cands:
+        cands.append(b)                  # full-batch block is always legal
+    for blk in cands:
+        if n_arrays * t * blk * s_pad * 4 <= 10 * 2 ** 20:
             return blk
     return 0
 

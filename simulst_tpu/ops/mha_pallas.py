@@ -34,11 +34,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _batch_block(b: int) -> int:
-    for bb in (8, 4, 2):
-        if b % bb == 0:
+def _vmem_estimate(bb: int, tq: int, tk: int, d: int, h: int) -> int:
+    """Worst-case (bwd) VMEM bytes for one grid step: bf16 q/do/dq (tq rows)
+    + k/v/dk/dv (tk rows), the fp32 (h, bb, tq, tk) probs kept twice
+    (p + dropped), and the fp32 (bb, tq, tk) additive mask."""
+    rows = 3 * bb * tq * d * 2 + 4 * bb * tk * d * 2
+    probs = 2 * h * bb * tq * tk * 4
+    mask = bb * tq * tk * 4
+    return rows + probs + mask
+
+
+def _batch_block(b: int, tq: int, tk: int, d: int, h: int) -> int:
+    """Largest batch block whose panels fit ~9 MB of VMEM; 0 = nothing fits
+    (caller falls back to the XLA path — e.g. cross-attention over a long
+    utterance's encoder buffer, where the (h, bb, tq, tk) probs alone blow
+    the 16 MB budget; caught by an 8x4096 long-utterance train probe).
+    Mosaic constrains the (bb, Tk) kmask block's dims to multiple-of-8 or
+    full, so bb must be a multiple of 8 or the whole batch."""
+    cands = [bb for bb in (16, 8) if b % bb == 0]
+    if b not in cands:
+        cands.append(b)
+    for bb in cands:
+        if _vmem_estimate(bb, tq, tk, d, h) <= 9 * 2 ** 20:
             return bb
-    return 1
+    return 0
 
 
 def _bias_block(causal: bool, m_ref, tq, tk):
@@ -173,7 +192,7 @@ def _specs(bb, tq, tk, d):
 def _fwd_call(qp, kp, vp, kmask, seed, num_heads, causal, rate, interpret):
     b, tq, d = qp.shape
     tk = kp.shape[1]
-    bb = _batch_block(b)
+    bb = b if interpret else _batch_block(b, tq, tk, d, num_heads)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads, causal, rate,
                           bool(interpret)),
@@ -190,7 +209,7 @@ def _bwd_call(qp, kp, vp, kmask, seed, do, num_heads, causal, rate,
               interpret):
     b, tq, d = qp.shape
     tk = kp.shape[1]
-    bb = _batch_block(b)
+    bb = b if interpret else _batch_block(b, tq, tk, d, num_heads)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads, causal, rate,
                           bool(interpret)),
@@ -260,4 +279,6 @@ def mha_pallas_supported(qp, kp, num_heads: int) -> bool:
         return False
     if tq % 8 != 0 or tk % 8 != 0:
         return False
+    if _batch_block(b, tq, tk, d, num_heads) == 0:
+        return False                      # panels would not fit VMEM
     return b % 2 == 0 and qp.dtype == kp.dtype

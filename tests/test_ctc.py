@@ -250,3 +250,26 @@ def test_pallas_dp_kernels_match_scans_exactly():
     d_em_k = d_em_pallas(em_all, alphas_ref, can_skip, in_len, tgt_len,
                          scale, nll_b, interpret=True)
     np.testing.assert_array_equal(np.asarray(d_em_k), np.asarray(d_em_ref))
+
+
+def test_ctc_block_gate_returns_mosaic_legal_blocks():
+    """The batch block must be a multiple of 8 or the full batch (Mosaic's
+    last-two-dims constraint; S is never split) and must fit the VMEM
+    budget — the 8x4096 long-utterance geometry must FALL BACK to the scan
+    (caught by a long-utterance train probe: blk=2 was shape-illegal)."""
+    from simulst_tpu.ops import ctc as C
+    import unittest.mock as mock
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        for b, n, t, s in [(32, 2, 256, 129), (8, 2, 1024, 385),
+                           (12, 3, 256, 129), (4, 2, 100, 65),
+                           (32, 3, 256, 129), (10, 2, 500, 200)]:
+            blk = C._ctc_block(b, n, t, s)
+            assert blk == 0 or blk % 8 == 0 or blk == b, (b, n, t, s, blk)
+            if blk:
+                s_pad = -(-s // 128) * 128
+                assert n * t * blk * s_pad * 4 <= 10 * 2 ** 20
+                assert b % blk == 0
+        # the long-utterance case must fall back (full batch exceeds VMEM)
+        assert C._ctc_block(8, 2, 1024, 385) == 0
+        # the bench geometry keeps a 16-row block
+        assert C._ctc_block(32, 2, 256, 129) == 16
