@@ -53,10 +53,24 @@ def run(n_steps=30):
 
 os.environ["SIMULST_NO_FUSED_FFN"] = "1"
 os.environ["SIMULST_NO_FUSED_ATTN"] = "1"
+# softmax-clamp detection rail (ADVICE r3): record max pre-clamp attention
+# scores during the XLA run; the fused kernels use the identical clamp form
+# and the trajectory-parity assert below certifies them against this run
+from simulst_tpu.nn import emformer as emf_mod
+score_log = emf_mod.enable_score_monitor()
 base = run()
+emf_mod.disable_score_monitor()
 del os.environ["SIMULST_NO_FUSED_FFN"]
 del os.environ["SIMULST_NO_FUSED_ATTN"]
 fused = run()
+
+max_score = max(score_log) if score_log else float("nan")
+print(f"max pre-clamp attention score over training: {max_score:.2f} "
+      f"(static clamp {emf_mod.SCORE_CLAMP})")
+assert score_log and max_score < emf_mod.SCORE_CLAMP / 2.0, (
+    f"attention scores ({max_score}) approaching the softmax clamp "
+    f"({emf_mod.SCORE_CLAMP}) — softmax would flatten silently; mitigate "
+    "with qk-layernorm or a tanh logit soft-cap (see nn/emformer.py)")
 
 print("step  xla-loss   fused-loss  |d|")
 for i in (0, 4, 9, 19, 29):

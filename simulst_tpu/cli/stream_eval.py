@@ -37,6 +37,14 @@ def main(argv=None):
                    help="test-time beta recalibration (cif_agent.py:207-209)")
     p.add_argument("--overshoot-weight", type=float, default=1.0)
     p.add_argument("--max-utterances", type=int, default=None)
+    p.add_argument("--max-src-frames", type=int, default=None,
+                   help="encoder buffer capacity in post-subsample frames; "
+                        "default auto-sizes to the longest utterance in the "
+                        "wav_list (overflow is flagged as 'truncated' in "
+                        "instances.log, never silent)")
+    p.add_argument("--max-tgt-len", type=int, default=None,
+                   help="output token / CIF-fire buffer capacity; default "
+                        "auto-sizes with --max-src-frames")
     p.add_argument("--global-cmvn", default=None,
                    help="npz with mean/std arrays for online feature "
                         "normalization (the reference agents' gcmvn)")
@@ -60,15 +68,6 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args(argv)
 
-    from simulst_tpu.stream.build import build_agent, load_vocab
-    vocab = load_vocab(args.vocab)
-    overrides = dict(cfglib.parse_override(s) for s in args.override)
-    agent = build_agent(args.checkpoint, vocab, agent_type=args.agent,
-                        model_name=args.model, overrides=overrides,
-                        waitk=args.waitk, cif_beta=args.cif_beta,
-                        overshoot_weight=args.overshoot_weight,
-                        global_cmvn_path=args.global_cmvn, fused=args.fused)
-
     with open(args.source) as f:
         wav_paths = [l.strip() for l in f if l.strip()]
     with open(args.target) as f:
@@ -81,6 +80,29 @@ def main(argv=None):
     for wp in wav_paths:
         wav, sr = read_wav(wp)
         utts.append(wav)
+
+    from simulst_tpu.stream.build import (auto_buffer_sizes, build_agent,
+                                          load_vocab)
+    vocab = load_vocab(args.vocab)
+    overrides = dict(cfglib.parse_override(s) for s in args.override)
+    agent = build_agent(args.checkpoint, vocab, agent_type=args.agent,
+                        model_name=args.model, overrides=overrides,
+                        waitk=args.waitk, cif_beta=args.cif_beta,
+                        overshoot_weight=args.overshoot_weight,
+                        global_cmvn_path=args.global_cmvn, fused=args.fused,
+                        max_src_frames=args.max_src_frames,
+                        max_tgt_len=args.max_tgt_len)
+    if args.max_src_frames is None or args.max_tgt_len is None:
+        # auto-size the fixed streaming buffers to the longest utterance so
+        # the 20/40/60s robustness splits (seg_mustc_data.py:26-104) never
+        # silently overflow the default 1024-frame capacity
+        src_cap, tgt_cap = auto_buffer_sizes(agent.cfg,
+                                             max(len(w) for w in utts))
+        agent.acfg.max_src_frames = args.max_src_frames or src_cap
+        agent.acfg.max_tgt_len = args.max_tgt_len or tgt_cap
+        print(f"auto-sized streaming buffers: max_src_frames="
+              f"{agent.acfg.max_src_frames} max_tgt_len="
+              f"{agent.acfg.max_tgt_len}")
 
     if args.profile:
         # trace one full session (compile-warm: run one utterance first)

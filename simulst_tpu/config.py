@@ -32,7 +32,16 @@ def from_dict(cls: Type, d: Dict[str, Any]):
             raise ValueError(f"can't interpret {v!r} as bool")
         return bool(v)
 
-    coerce = {"int": int, "float": float, "bool": to_bool, "str": str}
+    def to_int(v):
+        # int(2.5) would silently truncate corrupt metadata; only accept
+        # integral values (ADVICE r3).  Covers numpy float scalars too.
+        if not isinstance(v, (int, str)) and hasattr(v, "__float__"):
+            f = float(v)
+            if not f.is_integer():
+                raise ValueError(f"int field got non-integral value {v!r}")
+        return int(v)
+
+    coerce = {"int": to_int, "float": float, "bool": to_bool, "str": str}
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs = {}
     for k, v in d.items():

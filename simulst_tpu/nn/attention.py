@@ -91,13 +91,18 @@ def _merged_linear(parts, x):
 def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
                 causal: bool = False, attn_bias=None,
                 dropout_rate: float = 0.0, rng=None, deterministic: bool = True,
-                epilogue=None):
+                epilogue=None, need_probs: bool = False):
     """Full-sequence attention. query: (B, Tq, D); key/value: (B, Tk, D').
 
     epilogue: optional (res, rate, rng) — fold the transformer-layer
     epilogue `res + dropout(out_proj(attn))` into the projection (one fused
     Pallas pass on TPU, plain ops elsewhere) instead of returning the bare
-    projection for the caller to post-process."""
+    projection for the caller to post-process.
+
+    need_probs: the fused Pallas core never materializes attention weights
+    (every current caller discards them) and returns probs=None; pass
+    need_probs=True to force the XLA path when weights are actually needed
+    (e.g. fairseq-style alignment extraction) — ADVICE r3."""
     if query is key and key is value:
         qp, kp, vp = _merged_linear(
             [p["q_proj"], p["k_proj"], p["v_proj"]], query)
@@ -108,7 +113,8 @@ def mha_forward(p, query, key, value, num_heads: int, *, key_valid=None,
         qp = linear(p["q_proj"], query)
         kp = linear(p["k_proj"], key)
         vp = linear(p["v_proj"], value)
-    if attn_bias is None and mha_pallas_supported(qp, kp, num_heads):
+    if attn_bias is None and not need_probs and \
+            mha_pallas_supported(qp, kp, num_heads):
         # fused attention core: heads, masks, fp32 softmax and dropout all
         # stay in VMEM (ops/mha_pallas.py); probs are not materialized —
         # every full-sequence caller discards them

@@ -187,6 +187,39 @@ def _pos_ff(p, cfg: EmformerConfig, x, rng_a, rng_b, deterministic):
     return y
 
 
+SCORE_CLAMP = 80.0
+
+# Detection rail for the static clamp (ADVICE r3): if attention logits ever
+# drifted past SCORE_CLAMP, exp(min(s, 80)) would silently flatten softmax
+# and zero the gradient through clamped scores WITHOUT producing non-finite
+# values (so the trainer's non-finite-grad skip can't see it).  Enable the
+# monitor in smoke/convergence gates via `enable_score_monitor()`: every XLA
+# attention pass then reports its max pre-clamp score through a host
+# callback, and the gate asserts a wide margin below the clamp.  If the
+# margin is ever approached, the mitigations are qk-layernorm or a learned
+# logit soft-cap (tanh), not raising the clamp.
+_score_monitor = None
+
+
+def enable_score_monitor():
+    """Start recording max pre-clamp attention scores (host-side list).
+    Returns the live list; call disable_score_monitor() when done.  Forces a
+    retrace of jitted callers (trace-time flag), so gate-only usage."""
+    global _score_monitor
+    _score_monitor = []
+    return _score_monitor
+
+
+def disable_score_monitor():
+    global _score_monitor
+    _score_monitor = None
+
+
+def _record_score(m):
+    if _score_monitor is not None:
+        _score_monitor.append(float(m))
+
+
 def _attn_softmax(scores):
     """Clamp-stabilized softmax over the last axis (fp32 in, fp32 out).
 
@@ -200,7 +233,10 @@ def _attn_softmax(scores):
     jax.nn.softmax's uniform distribution over masked keys; no in-repo
     consumer reads such rows (they sit beyond the example's length and are
     length-masked downstream)."""
-    e = jnp.exp(jnp.minimum(scores, np.float32(80.0)))
+    if _score_monitor is not None:
+        # masked entries sit at -1e9/-3e4, so max() reports only real scores
+        jax.debug.callback(_record_score, scores.max())
+    e = jnp.exp(jnp.minimum(scores, np.float32(SCORE_CLAMP)))
     return e / (e.sum(axis=-1, keepdims=True) + np.float32(1e-30))
 
 

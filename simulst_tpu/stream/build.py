@@ -24,11 +24,30 @@ def load_vocab(path: str) -> Vocabulary:
             else Vocabulary.from_txt(path))
 
 
+def auto_buffer_sizes(cfg, max_samples: int, sample_rate: int = 16000):
+    """(max_src_frames, max_tgt_len) sized to the longest utterance.
+
+    The reference's agents grow encoder state unboundedly
+    (default_agent.py:76-94 TensorListEntry); our static-shape buffers must
+    instead be sized upfront — this picks a capacity that fits `max_samples`
+    of audio (e.g. the 60s robustness splits, seg_mustc_data.py:26-104) with
+    one extra segment of slack, rounded up to 128 post-subsample frames."""
+    n_fbank = max_samples // (sample_rate // 100) + 2   # 10ms shift
+    frames = (-(-n_fbank // cfg.stride)
+              + cfg.segment_length // cfg.stride + 8)
+    frames = max(1024, -(-frames // 128) * 128)
+    # ~1 token per 2 encoder frames is far above real BPE emission rates
+    tgt = max(256, min(2048, -(-(frames // 2) // 64) * 64))
+    return frames, tgt
+
+
 def build_agent(checkpoint: str, vocab: Vocabulary, agent_type: str = "mma",
                 model_name: Optional[str] = None, overrides=None,
                 waitk: Optional[int] = None, cif_beta: Optional[float] = None,
                 overshoot_weight: float = 1.0,
                 global_cmvn_path: Optional[str] = None, fused: bool = False,
+                max_src_frames: Optional[int] = None,
+                max_tgt_len: Optional[int] = None,
                 warn=print) -> SpeechAgent:
     """Restore a checkpoint and wire the matching streaming agent.
 
@@ -63,7 +82,12 @@ def build_agent(checkpoint: str, vocab: Vocabulary, agent_type: str = "mma",
              "streaming agent cannot reproduce (the future is unknown). "
              "Retrain with --cmvn global and pass global CMVN stats here.")
 
-    acfg = AgentConfig(overshoot_weight=overshoot_weight)
+    sizes = {}
+    if max_src_frames is not None:
+        sizes["max_src_frames"] = max_src_frames
+    if max_tgt_len is not None:
+        sizes["max_tgt_len"] = max_tgt_len
+    acfg = AgentConfig(overshoot_weight=overshoot_weight, **sizes)
     if agent_type in ("mma", "waitk"):
         return MMAAgent(model, restored, vocab, acfg, global_cmvn=gcmvn,
                         fused=fused)

@@ -52,6 +52,7 @@ class Instance:
     delays: List[float]
     elapsed: List[float]
     source_length_ms: float
+    truncated: bool = False   # a fixed buffer overflowed; output cut short
 
     def metrics(self) -> Dict[str, float]:
         n = max(len(self.delays), 1)
@@ -64,8 +65,10 @@ class Instance:
 
 
 def run_session(agent, waveform: np.ndarray, max_actions: int = 10000
-                ) -> Tuple[List[str], List[float], List[float]]:
-    """Drive one utterance; returns (words, delays_ms, elapsed_ms)."""
+                ) -> Tuple[List[str], List[float], List[float], bool]:
+    """Drive one utterance; returns (words, delays_ms, elapsed_ms, truncated).
+    `truncated` is True when a fixed streaming buffer overflowed mid-session
+    (size buffers via AgentConfig / --max-src-frames, --max-tgt-len)."""
     session = agent.new_session()
     if hasattr(session, "process_chunk"):
         return _run_fused(agent, session, waveform)
@@ -113,7 +116,7 @@ def run_session(agent, waveform: np.ndarray, max_actions: int = 10000
                 flush_word()
             unit_buf.append(piece)
     flush_word()
-    return words, delays, elapsed
+    return words, delays, elapsed, session.truncated
 
 
 def _run_fused(agent, session, waveform: np.ndarray):
@@ -149,7 +152,7 @@ def _run_fused(agent, session, waveform: np.ndarray):
                 flush_word()
             unit_buf.append(piece)
     flush_word()
-    return words, delays, elapsed
+    return words, delays, elapsed, session.truncated
 
 
 def evaluate(agent, utterances, references: Optional[List[str]] = None,
@@ -158,12 +161,13 @@ def evaluate(agent, utterances, references: Optional[List[str]] = None,
     (BLEU + mean latency metrics), mirroring SimulEval's `scores` json."""
     instances = []
     for i, wav in enumerate(utterances):
-        words, delays, elapsed = run_session(agent, np.asarray(wav))
+        words, delays, elapsed, trunc = run_session(agent, np.asarray(wav))
         ref = references[i] if references else ""
         instances.append(Instance(index=i, prediction=" ".join(words),
                                   reference=ref, delays=delays,
                                   elapsed=elapsed,
-                                  source_length_ms=len(wav) / SAMPLE_RATE * 1e3))
+                                  source_length_ms=len(wav) / SAMPLE_RATE * 1e3,
+                                  truncated=trunc))
     return _score_and_log(instances, bool(references), log_path,
                           mode="stepwise")
 
@@ -176,6 +180,15 @@ def _score_and_log(instances, have_refs: bool, log_path: Optional[str],
     the scores json and every instance record, so downstream consumers never
     compare the two as equivalent (ADVICE r2)."""
     scores: Dict[str, float] = {"mode": mode}
+    n_trunc = sum(1 for x in instances if x.truncated)
+    scores["truncated"] = n_trunc
+    if n_trunc:
+        import sys
+        print(f"WARNING: {n_trunc}/{len(instances)} utterances overflowed a "
+              "fixed streaming buffer and were cut short — raise "
+              "--max-src-frames/--max-tgt-len (scores are not trustworthy "
+              "for those instances; see 'truncated' in the log)",
+              file=sys.stderr)
     if have_refs:
         scores["BLEU"] = corpus_bleu([x.reference for x in instances],
                                      [x.prediction for x in instances])
@@ -284,6 +297,7 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
             consumed_at.append(marks)
         out = session.process_session(chunk_lists)
         wall = (time.perf_counter() - t0) * 1000.0
+        trunc = session.truncated
         for i in range(B):
             for c, toks in enumerate(out[i]):
                 if mergers[i].done:
@@ -292,7 +306,8 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
                 mergers[i].push(toks, d, wall + d)
             d = consumed_at[i][-1] / SAMPLE_RATE * 1000.0
             mergers[i].flush(d, wall + d)
-        return [(m.words, m.delays, m.elapsed) for m in mergers]
+        return [(m.words, m.delays, m.elapsed, bool(trunc[i]))
+                for i, m in enumerate(mergers)]
 
     for c in range(n_chunks):
         n = n_first if c == 0 else n_steady
@@ -307,10 +322,12 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
                 continue
             d = consumed[i] / SAMPLE_RATE * 1000.0
             mergers[i].push(toks, d, wall + d)
+    trunc = session.truncated
     for i in range(B):
         d = consumed[i] / SAMPLE_RATE * 1000.0
         mergers[i].flush(d, (time.perf_counter() - t0) * 1000.0 + d)
-    return [(m.words, m.delays, m.elapsed) for m in mergers]
+    return [(m.words, m.delays, m.elapsed, bool(trunc[i]))
+            for i, m in enumerate(mergers)]
 
 
 def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
@@ -337,12 +354,13 @@ def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
             group = idxs[lo: lo + batch_size]
             results = _run_fused_batch(agent, [wavs[i] for i in group], k,
                                        scan=scan)
-            for i, (words, delays, elapsed) in zip(group, results):
+            for i, (words, delays, elapsed, trunc) in zip(group, results):
                 instances[i] = Instance(
                     index=i, prediction=" ".join(words),
                     reference=references[i] if references else "",
                     delays=delays, elapsed=elapsed,
-                    source_length_ms=len(wavs[i]) / SAMPLE_RATE * 1e3)
+                    source_length_ms=len(wavs[i]) / SAMPLE_RATE * 1e3,
+                    truncated=trunc)
 
     return _score_and_log(instances, bool(references), log_path,
                           mode="scan" if scan else "stepwise")

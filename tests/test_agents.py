@@ -43,7 +43,7 @@ def test_waitk_agent_runs(audio):
     params = model.init(jax.random.PRNGKey(0))
     agent = MMAAgent(model, params, v, AgentConfig(max_tgt_len=16,
                                                    max_src_frames=256))
-    words, delays, elapsed = run_session(agent, audio)
+    words, delays, elapsed, _ = run_session(agent, audio)
     # delays must be monotone, within the utterance duration + finish
     assert all(d2 >= d1 for d1, d2 in zip(delays, delays[1:]))
     assert all(0 < d <= 1000 + 1 for d in delays)
@@ -73,6 +73,6 @@ def test_waitk_agent_latency_scales_with_k(audio):
         params = model.init(jax.random.PRNGKey(0))
         agent = MMAAgent(model, params, v, AgentConfig(max_tgt_len=8,
                                                        max_src_frames=256))
-        words, delays, _ = run_session(agent, audio)
+        words, delays, _, _ = run_session(agent, audio)
         firsts.append(delays[0] if delays else 1000.0)
     assert firsts[1] >= firsts[0]

@@ -49,7 +49,7 @@ def audios():
 def _sequential(agent, audios):
     out = []
     for wav in audios:
-        words, delays, _ = run_session(agent, wav)
+        words, delays, _, _ = run_session(agent, wav)
         out.append((words, delays))
     return out
 

@@ -37,8 +37,8 @@ def test_cif_fused_agent_matches_stepwise(audio):
     model = CIFModel(cfg)
     params = model.init(jax.random.PRNGKey(1))
     acfg = AgentConfig(max_tgt_len=16, max_src_frames=256)
-    w1, d1, _ = run_session(CIFAgent(model, params, v, acfg), audio)
-    w2, d2, _ = run_session(CIFAgent(model, params, v, acfg, fused=True),
+    w1, d1, _, _ = run_session(CIFAgent(model, params, v, acfg), audio)
+    w2, d2, _, _ = run_session(CIFAgent(model, params, v, acfg, fused=True),
                             audio)
     assert w1 == w2
     assert d1 == d2
@@ -51,8 +51,8 @@ def test_mma_fused_agent_matches_stepwise(audio):
     model = MMAModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     acfg = AgentConfig(max_tgt_len=16, max_src_frames=256)
-    w1, d1, _ = run_session(MMAAgent(model, params, v, acfg), audio)
-    w2, d2, _ = run_session(MMAAgent(model, params, v, acfg, fused=True),
+    w1, d1, _, _ = run_session(MMAAgent(model, params, v, acfg), audio)
+    w2, d2, _, _ = run_session(MMAAgent(model, params, v, acfg, fused=True),
                             audio)
     assert w1 == w2
     assert d1 == d2
@@ -75,7 +75,7 @@ def test_waitk_large_k_matches_offline_greedy(audio):
     acfg = AgentConfig(max_tgt_len=12, max_src_frames=256)
     agent = MMAAgent(model, params, v, acfg)
     from simulst_tpu.stream.evaluator import run_session
-    words, delays, _ = run_session(agent, audio)
+    words, delays, _, _ = run_session(agent, audio)
     # delays must all equal the full utterance duration (read-everything)
     assert all(abs(d - 1000.0) < 30 for d in delays), delays
 

@@ -176,7 +176,7 @@ def test_protocol_output_matches_builtin_evaluator(tmp_path, audio, kind):
         agent = _make_agent(tmp_path, "cif", dict(SMALL), "cif")
 
     sim_words = run_simuleval_session(agent, audio)
-    ref_words, _, _ = run_session(agent.agent, audio)
+    ref_words, _, _, _ = run_session(agent.agent, audio)
     assert " ".join(sim_words).split() == " ".join(ref_words).split(), (
         f"simuleval-protocol output differs:\n  simuleval: {sim_words}\n"
         f"  builtin:   {ref_words}")

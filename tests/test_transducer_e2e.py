@@ -93,7 +93,7 @@ def test_streaming_agent_emits(setup):
     agent = TransducerAgent(model, params, v,
                             AgentConfig(max_tgt_len=16, max_src_frames=128))
     audio = (np.random.RandomState(1).randn(12000) * 0.05).astype(np.float32)
-    words, delays, elapsed = run_session(agent, audio)
+    words, delays, elapsed, _ = run_session(agent, audio)
     # random weights: content is arbitrary, but the protocol must terminate
     # with per-word delays within the utterance duration
     assert len(words) == len(delays)
