@@ -37,32 +37,59 @@ def moving_sum(x, start: int, end: int):
     return out.reshape(b, tq, s)
 
 
+@jax.custom_vjp
+def _alignment_recursion(prefix, denom):
+    """alphas (N, U, S) from alpha_u = clip(prefix_u * cumsum(alpha_{u-1} /
+    denom_u), 0, 1) — Pallas DP kernel on TPU (panels stay VMEM-resident
+    across the U loop, no time-major transposes), bit-exact lax.scan
+    fallback elsewhere, hand-derived reverse recursion as the VJP
+    (ops/monotonic_pallas.py)."""
+    return _align_fwd_impl(prefix, denom)
+
+
+def _align_fwd_impl(prefix, denom):
+    from simulst_tpu.ops import monotonic_pallas as mp
+    n, u, s = prefix.shape
+    if mp.monotonic_block(n, u, s, 3) > 0:
+        return mp.alignment_fwd_pallas(prefix, denom)
+    return mp.alignment_fwd_scan(prefix, denom)
+
+
+def _align_fwd_rule(prefix, denom):
+    alphas = _align_fwd_impl(prefix, denom)
+    return alphas, (prefix, denom, alphas)
+
+
+def _align_bwd_rule(res, g):
+    from simulst_tpu.ops import monotonic_pallas as mp
+    prefix, denom, alphas = res
+    n, u, s = prefix.shape
+    g = g.astype(jnp.float32)
+    if mp.monotonic_block(n, u, s, 6) > 0:
+        return mp.alignment_bwd_pallas(prefix, denom, alphas, g)
+    return mp.alignment_bwd_scan(prefix, denom, alphas, g)
+
+
+_alignment_recursion.defvjp(_align_fwd_rule, _align_bwd_rule)
+
+
 def expected_alignment_from_p_choose(p_choose, key_padding_mask=None,
                                      eps: float = 1e-6):
     """alpha_i = p_i * cumprod(1-p_i) * cumsum(alpha_{i-1} / cumprod(1-p_i)).
 
     p_choose: (B, T_tgt, S_src) in [0,1]. Returns alpha, same shape, fp32.
-    Scan over the target axis (reference monotonic_attention.py:12-76).
+    The target-axis recursion (reference monotonic_attention.py:12-76) runs
+    as a Pallas DP kernel on TPU / a bit-exact lax.scan fallback elsewhere
+    (see _alignment_recursion); the cumprod prep stays plain (differentiable)
+    JAX.
     """
     p = p_choose.astype(jnp.float32)
     if key_padding_mask is not None:
         p = jnp.where(key_padding_mask[:, None, :], 0.0, p)
-    bsz, tgt_len, src_len = p.shape
     cumprod_1mp = exclusive_cumprod(1 - p, axis=2, eps=eps)
     cumprod_clamp = jnp.clip(cumprod_1mp, eps, 1.0)
     prefix = p * cumprod_1mp
-
-    alpha0 = jnp.zeros((bsz, src_len), jnp.float32).at[:, 0].set(1.0)
-
-    def step(alpha_prev, inp):
-        prefix_i, denom_i = inp                          # (B, S)
-        alpha_i = jnp.clip(
-            prefix_i * jnp.cumsum(alpha_prev / denom_i, axis=1), 0.0, 1.0)
-        return alpha_i, alpha_i
-
-    xs = (jnp.moveaxis(prefix, 1, 0), jnp.moveaxis(cumprod_clamp, 1, 0))
-    _, alphas = jax.lax.scan(step, alpha0, xs)
-    return jnp.moveaxis(alphas, 0, 1)                    # (B, T, S)
+    return _alignment_recursion(prefix, cumprod_clamp)
 
 
 def mass_preservation(alpha, key_padding_mask=None):
