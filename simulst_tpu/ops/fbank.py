@@ -123,6 +123,29 @@ def fbank_jax(waveform, sample_rate: int = 16000, n_mels: int = 80):
     return _fbank_core(jnp, frames, window_size, padded, n_mels, sample_rate)
 
 
+def fbank_batch_jax(waveforms, sample_rate: int = 16000, n_mels: int = 80):
+    """Batched JAX fbank: (B, N) raw samples (already x 2**15) -> (B, T, M).
+
+    One device call replaces B x n_chunks host OnlineFbank invocations in
+    whole-session evaluation (the reference extracts fbank on HOST per READ,
+    default_agent.py:28-73; host DSP was 40% of scanned-eval wall time).
+    Framing is global-position-based (snip_edges), so slicing the output at
+    `num_frames(cum_samples)` boundaries reproduces chunked extraction
+    EXACTLY — see stream/agents.FusedBatchSession.process_session_wavs.
+    Rows computed over a caller's zero-padding tail are garbage
+    (log-epsilon floor, not zeros) and must be masked via per-example
+    valid counts downstream."""
+    import jax.numpy as jnp
+    window_size, window_shift, padded = frame_params(sample_rate)
+    n = num_frames(waveforms.shape[-1], sample_rate)
+    if n == 0:
+        return jnp.zeros((waveforms.shape[0], 0, n_mels), jnp.float32)
+    starts = jnp.arange(n) * window_shift
+    idx = starts[:, None] + jnp.arange(window_size)[None, :]
+    frames = waveforms[:, idx]                       # (B, T, W)
+    return _fbank_core(jnp, frames, window_size, padded, n_mels, sample_rate)
+
+
 class OnlineFbank:
     """Incremental fbank for the streaming agent: buffers residual samples so
     that chunked extraction matches offline exactly

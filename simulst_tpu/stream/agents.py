@@ -335,6 +335,12 @@ class FusedBatchSession:
         # the runner (and its jitted scan) is cached on the AGENT: sessions
         # are per-utterance-batch transient, and a fresh runner would
         # recompile the scan every batch
+        return self._run_scanned(first, mid, last, n_valid, n_chunks)
+
+    def _run_scanned(self, first, mid, last, n_valid, n_chunks):
+        """Shared tail: run the cached scanned runner and unpack per-example,
+        per-chunk newly-emitted token lists."""
+        from simulst_tpu.stream.fused import make_scanned_runner
         runner = getattr(self.agent, "_scan_runner", None)
         if runner is None:
             runner = make_scanned_runner(self.step_fn)
@@ -353,6 +359,101 @@ class FusedBatchSession:
                 pos += n
             out.append(per_chunk)
         return out
+
+    def process_session_wavs(self, wavs: List[np.ndarray]
+                             ) -> List[List[List[int]]]:
+        """Whole-session scanned evaluation from RAW waveforms.
+
+        The fbank runs BATCHED ON DEVICE (ops/fbank.fbank_batch_jax: one jit
+        over the (B, N) sample matrix, CMVN fused) and the per-chunk feature
+        blocks are assembled by device-side slicing — no per-chunk host DSP
+        or host stacking (the reference extracts fbank on host per READ,
+        default_agent.py:28-73; host DSP + stacking were ~60% of scanned-eval
+        wall time).  Token-for-token identical to process_session on
+        host-extracted features: snip_edges framing is global-position-based,
+        so the frame count after consuming c samples is exactly
+        ops.fbank.num_frames(c) regardless of chunking (the OnlineFbank
+        residual always retains the >= 240 overlap samples the next frame
+        needs), and slicing the whole-utterance fbank at those boundaries
+        reproduces chunked extraction.  Within a lock-step bucket every
+        non-final chunk consumes the same sample count, so only the final
+        chunk needs per-example valid counts; a shorter example's zero-pad
+        tail yields garbage rows (log-epsilon floor) that encoder_step masks
+        via feat_valid before any state update."""
+        import functools
+        from simulst_tpu.ops.fbank import num_frames
+
+        assert not any(fb.previous_residual.size for fb in self.fbanks), \
+            "process_session_wavs requires a fresh session"
+        B = self.batch
+        assert len(wavs) == B
+        n_first = int(self.first_chunk_ms / 1000.0 * 16000)
+        n_steady = int(self.chunk_ms / 1000.0 * 16000)
+        totals = [len(w) for w in wavs]
+
+        def n_chunks_of(total):
+            consumed, k = 0, 0
+            while consumed < total:
+                consumed = min(consumed + (n_first if k == 0 else n_steady),
+                               total)
+                k += 1
+            return k
+
+        n_chunks = n_chunks_of(totals[0])
+        assert all(n_chunks_of(t) == n_chunks for t in totals), \
+            "lock-step bucket must share the chunk count"
+        if n_chunks < 2:
+            out = self.process_chunk_batch([np.asarray(w) for w in wavs],
+                                           finished=True)
+            return [[toks] for toks in out]
+
+        # cumulative consumed samples / emitted frames per chunk boundary
+        cum = [[min(n_first + k * n_steady, t) for k in range(n_chunks)]
+               for t in totals]
+        fcum = [[num_frames(c) for c in row] for row in cum]
+        c0 = fcum[0][0]
+        assert all(row[0] == c0 for row in fcum)
+        cs = fcum[0][1] - fcum[0][0] if n_chunks > 2 else 0
+        for row in fcum:
+            for k in range(1, n_chunks - 1):
+                assert row[k] - row[k - 1] == cs, "mid chunks must align"
+        last_counts = np.array([row[-1] - row[-2] for row in fcum], np.int32)
+        # pad to the FULL schedule (not the batch max): featurize and the
+        # finish step then compile once per chunk-count bucket, not per batch
+        sched_samples = n_first + (n_chunks - 1) * n_steady
+        mx_last = num_frames(sched_samples) - fcum[0][n_chunks - 2]
+
+        wav_mat = np.zeros((B, sched_samples), np.float32)
+        for i, w in enumerate(wavs):
+            wav_mat[i, :len(w)] = np.asarray(w, np.float32)
+
+        featurize = getattr(self.agent, "_batch_featurize", None)
+        if featurize is None:
+            from simulst_tpu.ops.fbank import fbank_batch_jax
+            cmvn = self.agent.global_cmvn
+
+            @functools.partial(jax.jit,
+                               static_argnames=("c0", "cs", "n_mid", "mx"))
+            def featurize(wav_mat, c0, cs, n_mid, mx):
+                feats = fbank_batch_jax(wav_mat * (2 ** 15))
+                if cmvn is not None:
+                    mean, std = cmvn
+                    feats = (feats - jnp.asarray(mean)) / jnp.asarray(std)
+                first = feats[:, :c0]
+                mid = None
+                if n_mid > 0:
+                    mid = feats[:, c0:c0 + n_mid * cs]
+                    mid = mid.reshape(feats.shape[0], n_mid, cs,
+                                      feats.shape[-1]).transpose(1, 0, 2, 3)
+                last = feats[:, c0 + n_mid * cs: c0 + n_mid * cs + mx]
+                return first, mid, last
+            self.agent._batch_featurize = featurize
+
+        first, mid, last = featurize(jnp.asarray(wav_mat), c0=c0, cs=cs,
+                                     n_mid=n_chunks - 2, mx=mx_last)
+        n_valid = (jnp.asarray(last_counts)
+                   if (last_counts != mx_last).any() else None)
+        return self._run_scanned(first, mid, last, n_valid, n_chunks)
 
 
 class MMAAgent(SpeechAgent):

@@ -285,17 +285,17 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
     t0 = time.perf_counter()
 
     if scan:
-        chunk_lists, consumed_at = [], []
+        consumed_at = []
         for i, wav in enumerate(wavs):
-            chunks, marks, pos = [], [], 0
+            marks, pos = [], 0
             for c in range(n_chunks):
                 n = n_first if c == 0 else n_steady
-                chunks.append(wav[pos: pos + n])
                 pos = min(pos + n, len(wav))
                 marks.append(pos)
-            chunk_lists.append(chunks)
             consumed_at.append(marks)
-        out = session.process_session(chunk_lists)
+        # device-side batched fbank + chunk assembly (token-for-token equal
+        # to process_session on host-extracted features)
+        out = session.process_session_wavs(wavs)
         wall = (time.perf_counter() - t0) * 1000.0
         trunc = session.truncated
         for i in range(B):

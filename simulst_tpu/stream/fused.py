@@ -106,6 +106,10 @@ def make_cif_fused_step(params, cfg: cif_mod.CIFConfig,
         cif_buf, cif_len, overflow = _append_rows(
             state.cif_buf, state.cif_len, fired, n_emit)
         pos = jnp.arange(tmax)[None, :]
+        # the finish chunk drains every pending WRITE in ONE dispatch (its
+        # while_loop is already bounded by the token buffer); mid-stream
+        # chunks keep the smaller cap as a latency bound per call
+        cap = (tmax - 1) if finish else max_writes_per_chunk
 
         def want(n_tok):
             # WRITE iff fired length exceeds decoded length, or finished
@@ -115,7 +119,7 @@ def make_cif_fused_step(params, cfg: cif_mod.CIFConfig,
         def cond(c):
             dec, tokens, n_tok, finished, stopped, writes = c
             can = (~finished) & (~stopped) & want(n_tok) & (n_tok < tmax - 1)
-            return can.any() & (writes < max_writes_per_chunk)
+            return can.any() & (writes < cap)
 
         def body(c):
             dec, tokens, n_tok, finished, stopped, writes = c
@@ -221,11 +225,12 @@ def make_mma_fused_step(params, cfg: mma_mod.MMAConfig,
         b, tmax = state.tokens.shape
         online = jnp.asarray(not finish)
         pos = jnp.arange(tmax)[None, :]
+        cap = (tmax - 1) if finish else max_writes_per_chunk
 
         def cond(c):
             dec, tokens, n_tok, finished, stopped, writes = c
             can = (~finished) & (~stopped) & (n_tok < tmax - 1)
-            return can.any() & (writes < max_writes_per_chunk)
+            return can.any() & (writes < cap)
 
         def body(c):
             dec, tokens, n_tok, finished, stopped, writes = c
@@ -334,11 +339,12 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
         b, tmax = state.tokens.shape
         online = jnp.asarray(not finish)
         pos = jnp.arange(tmax)[None, :]
+        cap = (tmax - 1) if finish else max_writes_per_chunk
 
         def cond(c):
             dec, tokens, n_tok, finished, stopped, writes = c
             can = (~finished) & (~stopped) & (n_tok < tmax - 1)
-            return can.any() & (writes < max_writes_per_chunk)
+            return can.any() & (writes < cap)
 
         def body(c):
             dec, tokens, n_tok, finished, stopped, writes = c
