@@ -305,11 +305,17 @@ def make_encoder_stepper(params, cfg: S2TEmformerConfig):
     Each distinct (n_new_frames, carry_len, finish) signature compiles once;
     the standard agent protocol uses exactly two signatures (first chunk,
     steady chunk) plus one flush, so every READ is a single XLA call.
+
+    `params` is a RUNTIME ARGUMENT of the jitted step, never a closure
+    capture: closure-captured weights become executable constants, and on
+    the tunneled TPU backend loading such an executable degrades every
+    later host<->device transfer in the process (measured 2 ms -> ~150 ms
+    for the same 5 MB h2d).
     """
     import functools
 
     @functools.partial(jax.jit, static_argnames=("carry_len", "finish"))
-    def _step(sub, pos, emf_state, carry, feats, carry_len, finish):
+    def _step(params, sub, pos, emf_state, carry, feats, carry_len, finish):
         state = EncoderStreamState(sub=sub, pos=pos, emf=emf_state,
                                    carry=carry, carry_len=carry_len)
         out, ns = encoder_step(params, cfg, state, feats, finish)
@@ -319,7 +325,7 @@ def make_encoder_stepper(params, cfg: S2TEmformerConfig):
     def step(state: EncoderStreamState, feats, finish: bool = False):
         n_new = 0 if feats is None else feats.shape[1]
         enc, ctc, sub, pos, emf_state, carry = _step(
-            state.sub, state.pos, state.emf, state.carry, feats,
+            params, state.sub, state.pos, state.emf, state.carry, feats,
             state.carry_len, finish)
         new_len = _carry_plan(cfg, state.carry_len, n_new, finish)
         ns = EncoderStreamState(sub=sub, pos=pos, emf=emf_state, carry=carry,

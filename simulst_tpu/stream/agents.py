@@ -568,9 +568,13 @@ class CIFAgent(SpeechAgent):
         import functools
 
         @functools.partial(jax.jit, static_argnames=("finish",))
+        def _cif_step(p, state, x, finish):
+            return cif_mod.cif_layer_step(p, cfg, state, x, finish)
+
+        # weights ride as a runtime arg, not a closure capture (executable
+        # constants poison the tunneled backend's transfer path; fused.py)
         def cif_step(state, x, finish):
-            return cif_mod.cif_layer_step(self.params["cif"], cfg, state, x,
-                                          finish)
+            return _cif_step(self.params["cif"], state, x, finish)
         self.cif_step = cif_step
         self.dec_step = jax.jit(
             lambda p, st, tok, buf, n: cif_mod.cif_decoder_step(

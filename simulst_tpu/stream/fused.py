@@ -89,11 +89,20 @@ def cif_fused_init(params, cfg: cif_mod.CIFConfig, max_tokens: int,
 def make_cif_fused_step(params, cfg: cif_mod.CIFConfig,
                         overshoot_weight: float = 1.0,
                         max_writes_per_chunk: int = 64):
-    """Returns step(state, feats, finish, n_valid=None) -> (state, n_new)."""
+    """Returns step(state, feats, finish, n_valid=None) -> (state, n_new).
+
+    `params` is passed to the jitted step as a RUNTIME ARGUMENT, never
+    captured in the trace: closure-captured weights become executable
+    constants, and on the tunneled TPU backend loading such an executable
+    degrades every later host<->device transfer in the process by two
+    orders of magnitude (measured: 2 ms -> ~150-270 ms for the same 5 MB
+    h2d after one closure-captured encoder step).  The `step.params` /
+    `params_override` plumbing exists so outer jits (the scanned runner)
+    can keep threading them as arguments."""
 
     @functools.partial(jax.jit, static_argnames=("carry_len", "finish",
                                                  "has_feats", "has_valid"))
-    def _step(state: CIFFusedState, feats, n_valid, carry_len: int,
+    def _step(params, state: CIFFusedState, feats, n_valid, carry_len: int,
               finish: bool, has_feats: bool, has_valid: bool):
         enc_in = state.enc._replace(carry_len=carry_len)
         enc_out, enc_state = s2t.encoder_step(
@@ -158,11 +167,12 @@ def make_cif_fused_step(params, cfg: cif_mod.CIFConfig,
         return new_state, n_tok - state.n_tokens
 
     def step(state: CIFFusedState, feats, finish: bool = False,
-             n_valid: Optional[jnp.ndarray] = None
+             n_valid: Optional[jnp.ndarray] = None, *, params_override=None
              ) -> Tuple[CIFFusedState, jnp.ndarray]:
+        p = params if params_override is None else params_override
         carry_len = state.enc.carry_len
         has_feats = feats is not None and feats.shape[1] > 0
-        new_state, n_new = _step(state, feats if has_feats else None,
+        new_state, n_new = _step(p, state, feats if has_feats else None,
                                  n_valid, carry_len, finish, has_feats,
                                  n_valid is not None)
         n_feats = feats.shape[1] if has_feats else 0
@@ -171,6 +181,7 @@ def make_cif_fused_step(params, cfg: cif_mod.CIFConfig,
             enc=new_state.enc._replace(carry_len=new_carry))
         return new_state, n_new
 
+    step.params = params
     return step
 
 
@@ -210,11 +221,15 @@ def make_mma_fused_step(params, cfg: mma_mod.MMAConfig,
     WRITE loop runs on device until every example either demands a READ (any
     monotonic head, mma_model.py:191-210), emits EOS, or rejects a premature
     EOS; a non-writing example adopts only its advanced monotonic positions
-    (the reference's clear_cache keeps the monotonic buffer)."""
+    (the reference's clear_cache keeps the monotonic buffer).
+
+    `params` rides as a runtime argument of the jitted step (see
+    make_cif_fused_step: closure-captured weights poison the tunneled
+    backend's transfer path)."""
 
     @functools.partial(jax.jit, static_argnames=("carry_len", "finish",
                                                  "has_feats", "has_valid"))
-    def _step(state: MMAFusedState, feats, n_valid, carry_len: int,
+    def _step(params, state: MMAFusedState, feats, n_valid, carry_len: int,
               finish: bool, has_feats: bool, has_valid: bool):
         enc_in = state.enc._replace(carry_len=carry_len)
         enc_out, enc_state = s2t.encoder_step(
@@ -272,11 +287,12 @@ def make_mma_fused_step(params, cfg: mma_mod.MMAConfig,
         return new_state, n_tok - state.n_tokens
 
     def step(state: MMAFusedState, feats, finish: bool = False,
-             n_valid: Optional[jnp.ndarray] = None
+             n_valid: Optional[jnp.ndarray] = None, *, params_override=None
              ) -> Tuple[MMAFusedState, jnp.ndarray]:
+        p = params if params_override is None else params_override
         carry_len = state.enc.carry_len
         has_feats = feats is not None and feats.shape[1] > 0
-        new_state, n_new = _step(state, feats if has_feats else None,
+        new_state, n_new = _step(p, state, feats if has_feats else None,
                                  n_valid, carry_len, finish, has_feats,
                                  n_valid is not None)
         n_feats = feats.shape[1] if has_feats else 0
@@ -285,6 +301,7 @@ def make_mma_fused_step(params, cfg: mma_mod.MMAConfig,
             enc=new_state.enc._replace(carry_len=new_carry))
         return new_state, n_new
 
+    step.params = params
     return step
 
 
@@ -323,13 +340,17 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
 
     Greedy transducer emit loop on device: decode_step scans the visible
     source for the first non-blank frame; emitted=False is the READ signal
-    (that example's attempt is simply not adopted)."""
+    (that example's attempt is simply not adopted).
+
+    `params` rides as a runtime argument of the jitted step (see
+    make_cif_fused_step: closure-captured weights poison the tunneled
+    backend's transfer path)."""
     cfg = model.cfg
 
     @functools.partial(jax.jit, static_argnames=("carry_len", "finish",
                                                  "has_feats", "has_valid"))
-    def _step(state: TransducerFusedState, feats, n_valid, carry_len: int,
-              finish: bool, has_feats: bool, has_valid: bool):
+    def _step(params, state: TransducerFusedState, feats, n_valid,
+              carry_len: int, finish: bool, has_feats: bool, has_valid: bool):
         enc_in = state.enc._replace(carry_len=carry_len)
         enc_out, enc_state = s2t.encoder_step(
             params["encoder"], cfg, enc_in, feats if has_feats else None,
@@ -383,11 +404,12 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
         return new_state, n_tok - state.n_tokens
 
     def step(state: TransducerFusedState, feats, finish: bool = False,
-             n_valid: Optional[jnp.ndarray] = None
+             n_valid: Optional[jnp.ndarray] = None, *, params_override=None
              ) -> Tuple[TransducerFusedState, jnp.ndarray]:
+        p = params if params_override is None else params_override
         carry_len = state.enc.carry_len
         has_feats = feats is not None and feats.shape[1] > 0
-        new_state, n_new = _step(state, feats if has_feats else None,
+        new_state, n_new = _step(p, state, feats if has_feats else None,
                                  n_valid, carry_len, finish, has_feats,
                                  n_valid is not None)
         n_feats = feats.shape[1] if has_feats else 0
@@ -396,6 +418,7 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
             enc=new_state.enc._replace(carry_len=new_carry))
         return new_state, n_new
 
+    step.params = params
     return step
 
 
@@ -424,6 +447,10 @@ def make_scanned_runner(step_fn):
     counts (N + 2, B).
     """
     scan_cache = {}
+    # thread the step's weights through the outer jit as a RUNTIME ARGUMENT
+    # (closure-captured weights become executable constants, which poisons
+    # the tunneled backend's transfer path — see make_cif_fused_step)
+    step_params = getattr(step_fn, "params", None)
 
     def _scan_mid(state, mid):
         leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -443,10 +470,13 @@ def make_scanned_runner(step_fn):
                      for s, d in zip(statics, is_dyn)])
 
             @jax.jit
-            def scan_mid(dyn, mids):
+            def scan_mid(params, dyn, mids):
                 def body(dyn, feats):
                     st_in = rebuild(dyn)
-                    st, n_new = step_fn(st_in, feats)
+                    st, n_new = (step_fn(st_in, feats)
+                                 if params is None else
+                                 step_fn(st_in, feats,
+                                         params_override=params))
                     # the static leaves (e.g. enc.carry_len) must be at
                     # their steady-state fixed point inside the scan
                     assert jax.tree_util.tree_structure(st) == treedef
@@ -460,7 +490,7 @@ def make_scanned_runner(step_fn):
 
             scan_cache[key] = (split, rebuild, scan_mid)
         split, rebuild, scan_mid = scan_cache[key]
-        dyn, ns = scan_mid(split(state), mid)
+        dyn, ns = scan_mid(step_params, split(state), mid)
         return rebuild(list(dyn)), ns
 
     def run(state, first, mid, last, last_valid=None):
