@@ -322,27 +322,41 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
     mfu = flops / (dt / 1000.0) / _peak_flops(dtype_name)
     if padded:
         # device MFU is unchanged (static shapes: the chip computes full-T
-        # matmuls either way); the EFFECTIVE numbers scale by non-pad work
-        eff = float(jnp.sum(lengths)) / (B * T)
+        # matmuls either way); the EFFECTIVE numbers scale each FLOP term by
+        # its non-pad fraction — source-side terms by eff_t, target-side
+        # linear terms by eff_u, the decoder self-attn core by eff_u^2 and
+        # the cross-attn core by eff_t*eff_u
+        eff_t = float(jnp.sum(lengths)) / (B * T)
+        eff_u = float(np.sum(tlen)) / (B * U)
+        f_src, f_tgt, f_tgt_sq, f_cross = _train_matmul_flops(
+            cfg, B, T, U, split=True)
+        eff = (f_src * eff_t + f_tgt * eff_u + f_tgt_sq * eff_u ** 2
+               + f_cross * eff_t * eff_u) / (f_src + f_tgt + f_tgt_sq
+                                             + f_cross)
         return dt, B * T / (dt / 1000.0) * eff, mfu * eff
     return dt, B * T / (dt / 1000.0), mfu
 
 
-def _train_matmul_flops(cfg, B, T, U) -> float:
-    """Analytic forward matmul FLOPs of the s2t_emformer train step."""
+def _train_matmul_flops(cfg, B, T, U, split=False):
+    """Analytic forward matmul FLOPs of the s2t_emformer train step.
+
+    With split=True returns (f_src, f_tgt, f_tgt_sq, f_cross): terms linear
+    in source frames, linear in target tokens, quadratic in target tokens,
+    and bilinear (cross-attention core) — so the padded bench can scale each
+    by its own non-pad fraction."""
     d = cfg.embed_dim
     t4 = T // cfg.stride                       # post-subsample frames
     ecfg = cfg.emformer
     seg, rc, mem = ecfg.segment, ecfg.right_context, ecfg.max_memory
     nseg = t4 // seg
-    f = 0.0
+    f_src = 0.0
     # subsampler convs (stride 2 each, GLU halves channels between layers)
     t_half = T // 2
-    f += B * t_half * 5 * cfg.input_feat * cfg.conv_channels * 2
-    f += B * t4 * 5 * (cfg.conv_channels // 2) * (2 * d) * 2
+    f_src += B * t_half * 5 * cfg.input_feat * cfg.conv_channels * 2
+    f_src += B * t4 * 5 * (cfg.conv_channels // 2) * (2 * d) * 2
     # conv-pos grouped conv (k = conv_pos//2 taps, Cin/g x Cout per tap)
     k = (cfg.conv_pos + 1) // 2
-    f += B * t4 * k * (d // cfg.conv_pos_groups) * d * 2
+    f_src += B * t4 * k * (d // cfg.conv_pos_groups) * d * 2
     # emformer layers: rows = rc blocks + utterance + summaries
     rows = nseg * rc + t4 + nseg
     ctx = mem + ecfg.left_context + seg + rc   # per-query visible keys
@@ -351,18 +365,20 @@ def _train_matmul_flops(cfg, B, T, U) -> float:
                  + B * rows * ctx * d * 2 * 2             # qk^T + pv
                  + B * rows * d * d * 2                   # out_proj
                  + B * rows * d * cfg.ffn_dim * 2 * 2)    # fc1 + fc2
-    f += ecfg.num_layers * per_layer
+    f_src += ecfg.num_layers * per_layer
     # CTC head
-    f += B * t4 * d * cfg.vocab_size * 2
+    f_src += B * t4 * d * cfg.vocab_size * 2
     # decoder: 6 layers of self-attn + cross-attn + FFN on U tokens
-    dec_per_layer = (B * U * d * d * 2 * 4                 # self qkvo
-                     + B * U * U * d * 2 * 2               # self attn core
-                     + B * U * d * d * 2 * 4               # cross qkvo
-                     + B * U * t4 * d * 2 * 2              # cross attn core
-                     + B * U * d * cfg.decoder_ffn_dim * 2 * 2)
-    f += cfg.decoder_layers * dec_per_layer
-    f += B * U * d * cfg.vocab_size * 2                    # output projection
-    return f
+    nl = cfg.decoder_layers
+    f_tgt = nl * (B * U * d * d * 2 * 4                    # self qkvo
+                  + B * U * d * d * 2 * 4                  # cross qkvo
+                  + B * U * d * cfg.decoder_ffn_dim * 2 * 2)
+    f_tgt += B * U * d * cfg.vocab_size * 2                # output projection
+    f_tgt_sq = nl * B * U * U * d * 2 * 2                  # self attn core
+    f_cross = nl * B * U * t4 * d * 2 * 2                  # cross attn core
+    if split:
+        return f_src, f_tgt, f_tgt_sq, f_cross
+    return f_src + f_tgt + f_tgt_sq + f_cross
 
 
 def main():

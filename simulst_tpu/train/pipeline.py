@@ -106,6 +106,11 @@ def pipelined_train_loss(params, cfg: S2TEmformerConfig,
     valid draw than single-device, like the seq-sharded runner).
     """
     ecfg = cfg.emformer
+    # dead-stage/warmup ticks run the epilogue on zero activations with
+    # enc_lens=0; their CTC losses are only finite (and safely masked by the
+    # jnp.where select) under zero_infinity — make that precondition explicit
+    assert lcfg.zero_infinity, \
+        "pipelined_train_loss requires JointCTCConfig.zero_infinity"
     n_stage = mesh.shape[pipe_axis]
     L = ecfg.num_layers
     assert L % n_stage == 0, (L, n_stage)
@@ -183,15 +188,21 @@ def pipelined_train_loss(params, cfg: S2TEmformerConfig,
             first = ax == 0
             out, rcb, mems, lens = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(first, a, b), inject, act)
+
+            def one_layer(lp, out, rcb, mems, lrng):
+                return _layer_forward(lp, ecfg, out, rcb, mems, lens, mask,
+                                      lrng, deterministic)
+            if ecfg.remat:
+                # match the dense path (emformer.py): keep only layer inputs
+                # live per tick instead of all lpp layers' activations
+                one_layer = jax.checkpoint(one_layer)
             for i in range(lpp):
                 lp = jax.tree_util.tree_map(lambda a: a[i], sp)
                 lrng = None
                 if rng is not None and not deterministic:
                     lrng = jax.random.fold_in(
                         jax.random.fold_in(rng, ax * lpp + i), m_inj)
-                out, rcb, mems = _layer_forward(lp, ecfg, out, rcb, mems,
-                                                lens, mask, lrng,
-                                                deterministic)
+                out, rcb, mems = one_layer(lp, out, rcb, mems, lrng)
             # on the last stage, the stack output this tick IS microbatch
             # t - (n_stage-1)'s final encoding (valid once t >= n_stage-1)
             m_fin = jnp.clip(t - (n_stage - 1), 0, n_micro - 1)

@@ -11,6 +11,7 @@ checkpoint format, or the metadata coercion before real checkpoints exist.
 Ref layout: /root/reference/eval/generate.py:96-103 (ensemble loader).
 """
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +60,9 @@ def test_parity_harness_dry(name, tmp_path):
     params = model.init(jax.random.PRNGKey(0))
 
     pt = os.path.join(tmp_path, "reference.pt")
-    _fake_fairseq_ckpt(name, cfg, pt, seed=hash(name) % 1000)
+    # zlib.crc32 is deterministic across runs (hash() is salted by
+    # PYTHONHASHSEED, which would make failures non-reproducible)
+    _fake_fairseq_ckpt(name, cfg, pt, seed=zlib.crc32(name.encode()) % 1000)
 
     # --- the script's conversion block, verbatim semantics ---
     converted = convert(name, params, pt)
