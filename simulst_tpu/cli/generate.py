@@ -131,13 +131,14 @@ def decode_batch_transducer(model, params, batch, beam_cfg: BeamConfig,
     eval/eval_transducer.sh + generate.py:201-207), so its beam hypotheses
     each carry their own emit cursor; here that cursor (prev_emit) lives in
     TransducerState and is gathered on beam reorder like the KV caches."""
-    from simulst_tpu.models.transducer import TransducerState, downsample_pool
+    from simulst_tpu.models.transducer import TransducerState
     cfg = model.cfg
     enc = s2t.encoder_forward(params["encoder"], cfg,
                               jnp.asarray(batch["feats"]),
                               jnp.asarray(batch["feat_lengths"]))
-    src, src_lens = downsample_pool(enc.encoder_out, enc.lengths,
-                                    cfg.downsample)
+    # decode_step pools the visible source itself (downsample > 1), exactly
+    # like the reference's incremental path — pass RAW encoder frames
+    src, src_lens = enc.encoder_out, enc.lengths
     b = batch["feats"].shape[0]
     beam = beam_cfg.beam_size
     if beam > 1:

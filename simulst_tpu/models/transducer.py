@@ -131,9 +131,10 @@ def downsample_pool(x, lengths, k: int):
     # rescale the last (possibly partial) pooled frame by k / remainder
     r = (lengths - 1) % k + 1
     last = (lengths - r) // k
-    scale = k / r.astype(jnp.float32)
+    scale = (k / r.astype(jnp.float32)).astype(x.dtype)
     onehot = jnp.arange(n)[None, :] == last[:, None]
-    pooled = pooled * jnp.where(onehot, scale[:, None], 1.0)[:, :, None]
+    pooled = pooled * jnp.where(onehot, scale[:, None],
+                                jnp.ones((), x.dtype))[:, :, None]
     new_lengths = -(-lengths // k)
     return pooled, new_lengths
 
@@ -217,11 +218,22 @@ class TransducerModel:
         blank — the streaming agent's READ signal (rollback = not adopting
         new_state).  Offline (online=False) a non-blank emit is forced at the
         last frame, so emitted is always True.
+
+        With downsample > 1 the visible source prefix is pooled HERE, exactly
+        like the reference's incremental path (transducer_model.py:133-135
+        pools the full accumulated buffer on every call), so state.prev_emit
+        and the returned emit positions live in POOLED coordinates; the last
+        (possibly partial) pooled window is the rescaled mean of the frames
+        visible so far and is recomputed as the source grows, matching the
+        reference's per-call re-pooling.
         """
         cfg = self.cfg
         dcfg = cfg.decoder
         p = params["decoder"]
         b = token.shape[0]
+        if cfg.downsample > 1:
+            src_buf, src_len = downsample_pool(src_buf, src_len,
+                                               cfg.downsample)
         s_max = src_buf.shape[1]
         pos = dcfg.padding_idx + 1 + state.step              # (B,)
         x = dcfg.embed_scale * tfm.embedding(p["embed_tokens"], token[:, None])

@@ -643,8 +643,10 @@ class TransducerAgent(SpeechAgent):
 
     def __init__(self, model, params, vocab, acfg=None, global_cmvn=None,
                  fused: bool = False):
-        assert model.cfg.downsample <= 1, \
-            "streaming transducer agent requires downsample == 1"
+        # downsample > 1 is handled inside decode_step: the visible raw
+        # encoder prefix is pooled per call (reference pools the accumulated
+        # buffer each incremental call, transducer_model.py:133-135), so the
+        # session's enc_buf stays in RAW encoder coordinates
         super().__init__(model, params, vocab, acfg, global_cmvn)
         self.fused = fused
         if fused:

@@ -4,6 +4,7 @@ make_scanned_runner; FusedBatchSession.process_session)."""
 import json
 
 import numpy as np
+import pytest
 import jax
 
 from simulst_tpu.data.vocab import SPECIALS, Vocabulary
@@ -77,11 +78,13 @@ def test_mma_scanned_matches_chunked(tmp_path):
         np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
 
 
-def test_transducer_scanned_matches_chunked(tmp_path):
+@pytest.mark.parametrize("downsample", [1, 2])
+def test_transducer_scanned_matches_chunked(tmp_path, downsample):
     from simulst_tpu.models.transducer import TransducerConfig, TransducerModel
     from simulst_tpu.stream.agents import TransducerAgent
     v = _vocab()
-    cfg = TransducerConfig(**small_kwargs(v), ctc_layer=False)
+    cfg = TransducerConfig(**small_kwargs(v), ctc_layer=False,
+                           downsample=downsample)
     model = TransducerModel(cfg)
     params = model.init(jax.random.PRNGKey(2))
     acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)

