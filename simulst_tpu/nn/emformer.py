@@ -37,7 +37,8 @@ from simulst_tpu.nn.core import (ACTIVATIONS, dropout, layer_norm,
                                  layer_norm_init, linear, linear_init, neg_inf)
 from simulst_tpu.ops.emformer_attn_pallas import (AttnGeom, padded_tk,
                                                   attn_pallas_supported,
-                                                  emformer_grouped_attention)
+                                                  emformer_grouped_attention,
+                                                  kernel_ctx_row_map)
 from simulst_tpu.ops.ffn_pallas import (ffn_pallas_supported, fused_ffn,
                                         fused_ln_ffn_res, seed_from_rng)
 from simulst_tpu.ops.linear_res_pallas import (fused_linear_drop_res,
@@ -407,6 +408,75 @@ def _group_gather_indices(U: int, seg: int, lc: int, rc: int, max_mem: int,
     return idx, valid, utt_col, allowed
 
 
+# ---------------------------------------------------------------------------
+# sequence packing: example-id masks (train/packing.py supplies the ids)
+#
+# A packed row holds several examples at segment granularity; masking
+# generalizes the per-example length rule to EXAMPLE-ID EQUALITY: a query of
+# segment i (example e) may see a memory summary / utterance frame only if it
+# carries the same id.  rc keys need no id check (block j belongs to segment
+# j by construction; boundary rc content is zero rows, matching the padded
+# batch's zero right-context — see train/packing.py).  Dead frames carry -1,
+# dead segments -1, pad key rows -9.
+# ---------------------------------------------------------------------------
+
+class PackedEids(NamedTuple):
+    frame_eid: jnp.ndarray             # (B, U) int32
+    seg_eid: jnp.ndarray               # (B, n) int32
+    kid: jnp.ndarray                   # (B, mem+rc+utt) per-key-row ids
+    kernel_mask: Optional[jnp.ndarray]  # (B, ng, nq, ctx) int8 (Pallas path)
+
+
+@functools.lru_cache(maxsize=64)
+def _group_row_seg(seg: int, rc: int, G: int) -> np.ndarray:
+    """Static (nq,) map: grouped query row -> local segment index within the
+    group (rows are [G rc blocks | G segments | G summaries])."""
+    nq = G * (rc + seg + 1)
+    rows = np.arange(nq)
+    return np.where(rows < G * rc, rows // rc,
+                    np.where(rows < G * (rc + seg), (rows - G * rc) // seg,
+                             rows - G * (rc + seg))).astype(np.int32)
+
+
+def _build_kid(cfg: EmformerConfig, frame_eid, seg_eid):
+    """(B, U)+(B, n) -> (B, (n-1) + n*rc + U) per-key-row example ids in the
+    [mems | rc blocks | utterance] layout."""
+    mem_id = seg_eid[:, :-1] if cfg.use_mem else seg_eid[:, :0]
+    rc_id = jnp.repeat(seg_eid, cfg.right_context, axis=1)
+    return jnp.concatenate([mem_id, rc_id, frame_eid], axis=1)
+
+
+def make_packed_eids(cfg: EmformerConfig, U: int, frame_eid, seg_eid,
+                     dim: int) -> PackedEids:
+    """Precompute the layer-invariant id tensors (and, when the Pallas
+    attention kernel is live, the (B, ng, nq, ctx) int8 visibility gate in
+    the kernel's aligned-window context layout)."""
+    frame_eid = jnp.asarray(frame_eid, jnp.int32)
+    seg_eid = jnp.asarray(seg_eid, jnp.int32)
+    kid = _build_kid(cfg, frame_eid, seg_eid)
+    n = _num_segs(U, cfg.segment)
+    G = _choose_group(n, U, cfg)
+    kernel_mask = None
+    if G > 1:
+        geom = AttnGeom(U=U, seg=cfg.segment, lc=cfg.left_context,
+                        rc=cfg.right_context, max_mem=cfg.max_memory,
+                        G=G, num_heads=cfg.num_heads)
+        if attn_pallas_supported(geom, dim):
+            rows = jnp.asarray(kernel_ctx_row_map(geom))     # (ng, ctx)
+            pad = padded_tk(geom) - kid.shape[1]
+            kid_pad = jnp.pad(kid, ((0, 0), (0, pad)), constant_values=-9)
+            eid_k = jnp.take(kid_pad, rows.reshape(-1), axis=1).reshape(
+                kid.shape[0], geom.ng, geom.ctx)
+            gi = (np.arange(geom.ng)[:, None] * G
+                  + _group_row_seg(cfg.segment, cfg.right_context, G)[None])
+            qid = jnp.take(seg_eid, jnp.asarray(gi.reshape(-1)),
+                           axis=1).reshape(kid.shape[0], geom.ng, geom.nq)
+            kernel_mask = (eid_k[:, :, None, :] == qid[..., None]
+                           ).astype(jnp.int8)
+    return PackedEids(frame_eid=frame_eid, seg_eid=seg_eid, kid=kid,
+                      kernel_mask=kernel_mask)
+
+
 def _choose_group(n: int, U: int, cfg: EmformerConfig) -> int:
     """Largest usable segment-group size G <= cfg.segment_group: G must
     divide n, and the first group's clamped utterance window must fit
@@ -424,13 +494,15 @@ def _choose_group(n: int, U: int, cfg: EmformerConfig) -> int:
 
 
 def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
-                       summary, lengths, rngs, deterministic, rc_raw, utt_raw):
+                       summary, lengths, rngs, deterministic, rc_raw, utt_raw,
+                       eids: Optional[PackedEids] = None):
     """Grouped-segment training attention WITH its epilogue: same math as
     _segmented_attention with G segments per block (see
     _group_gather_indices), followed by out_proj -> residual dropout ->
     +raw on the rc/utterance rows (summary rows get the plain projection).
     Returns (result (B, rc_len+U, D) — post-residual, pre-pos_ff — and
-    summary_out (B, n, D))."""
+    summary_out (B, n, D)).  With `eids` (sequence packing) the per-example
+    length rule is replaced by example-id equality."""
     b, U, d = utt_ln.shape
     seg, lc, rc = cfg.segment, cfg.left_context, cfg.right_context
     n = U // seg
@@ -442,6 +514,10 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     geom = AttnGeom(U=U, seg=seg, lc=lc, rc=rc, max_mem=cfg.max_memory,
                     G=G, num_heads=h)
     use_pallas = attn_pallas_supported(geom, d)
+    if eids is not None:
+        # packed rows are full; the kernel's f < length rule must never bite
+        lengths = jnp.full((b,), U, jnp.int32)
+        use_pallas = use_pallas and eids.kernel_mask is not None
     kv_rows = [mems, rc_ln, utt_ln]
     if use_pallas:
         # build k/v already at the kernel's padded width: the zero rows ride
@@ -466,7 +542,9 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
         seed = (seed_from_rng(rng) if rate > 0.0
                 else jnp.zeros((1,), jnp.int32))
         out = emformer_grouped_attention(q, k, v, lengths.astype(jnp.int32),
-                                         seed, geom, rate)
+                                         seed,
+                                         None if eids is None
+                                         else eids.kernel_mask, geom, rate)
         rng_ep = next(rngs)
         ep_rate = 0.0 if deterministic or rng_ep is None else cfg.dropout
         if linear_res_supported(out, d, d):
@@ -506,8 +584,17 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
 
     valid = jnp.asarray(valid_np)[None]
     utt_col = jnp.asarray(utt_col_np)
-    in_len = (utt_col[None] < lengths[:, None, None]) | (utt_col[None] < 0)
-    key_valid = valid & in_len                                 # (B, ng, ctx)
+    if eids is None:
+        in_len = (utt_col[None] < lengths[:, None, None]) | (utt_col[None] < 0)
+        key_valid = valid & in_len                             # (B, ng, ctx)
+        eid_ok = None
+    else:
+        key_valid = jnp.broadcast_to(valid, (b, ng, ctx))
+        eid_k = jnp.take(eids.kid, idx.reshape(-1), axis=1).reshape(b, ng, ctx)
+        gi = (np.arange(ng)[:, None] * G + _group_row_seg(seg, rc, G)[None])
+        qid = jnp.take(eids.seg_eid, jnp.asarray(gi.reshape(-1)),
+                       axis=1).reshape(b, ng, nq)
+        eid_ok = eid_k[:, :, None, :] == qid[..., None]        # (B,ng,nq,ctx)
 
     qh = q.reshape(b, ng, nq, h, hd).transpose(0, 1, 3, 2, 4) * (hd ** -0.5)
     kh = k_ctx.reshape(b, ng, ctx, h, hd).transpose(0, 1, 3, 2, 4)
@@ -516,6 +603,8 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
     ni = neg_inf(q.dtype)
     scores = jnp.where(key_valid[:, :, None, None, :], scores, ni)
     scores = jnp.where(jnp.asarray(allowed_np)[None, None, None], scores, ni)
+    if eid_ok is not None:
+        scores = jnp.where(eid_ok[:, :, None], scores, ni)
     probs = _attn_softmax(scores).astype(q.dtype)
     probs = dropout(next(rngs), probs, cfg.attention_dropout, deterministic)
     out = jnp.einsum("bnhqk,bnhkd->bnhqd", probs, vh)
@@ -532,9 +621,13 @@ def _grouped_attention(p, cfg: EmformerConfig, G: int, utt_ln, rc_ln, mems,
 
 
 def _segmented_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
-                         lengths, rngs, deterministic):
+                         lengths, rngs, deterministic,
+                         eids: Optional[PackedEids] = None):
     """Per-segment batched attention. Returns (rc_utt_out (B, rc_len+U, D),
-    summary_out (B, n, D))."""
+    summary_out (B, n, D)).  With `eids` (sequence packing), key validity is
+    example-id equality with the query segment's id instead of the
+    per-example length rule (all query rows of a segment block share one
+    id, so the gate folds into key_valid)."""
     b, U, d = utt_ln.shape
     n = _num_segs(U, cfg.segment)
     seg, lc, rc = cfg.segment, cfg.left_context, cfg.right_context
@@ -553,11 +646,15 @@ def _segmented_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
     k_ctx = jnp.take(k, idx.reshape(-1), axis=1).reshape(b, n, ctx, d)
     v_ctx = jnp.take(v, idx.reshape(-1), axis=1).reshape(b, n, ctx, d)
 
-    # validity: static + per-example utterance length
+    # validity: static + per-example utterance length (or packed ids)
     valid = jnp.asarray(valid_np)[None]                        # (1, n, ctx)
     utt_col = jnp.asarray(utt_col_np)                          # (n, ctx)
-    in_len = (utt_col[None] < lengths[:, None, None]) | (utt_col[None] < 0)
-    key_valid = valid & in_len                                 # (B, n, ctx)
+    if eids is None:
+        in_len = (utt_col[None] < lengths[:, None, None]) | (utt_col[None] < 0)
+        key_valid = valid & in_len                             # (B, n, ctx)
+    else:
+        eid_k = jnp.take(eids.kid, idx.reshape(-1), axis=1).reshape(b, n, ctx)
+        key_valid = valid & (eid_k == eids.seg_eid[:, :, None])
 
     # queries: [rc block | seg utterance | summary] per segment
     pad_u = n * seg - U
@@ -601,8 +698,10 @@ def _segmented_attention(p, cfg: EmformerConfig, utt_ln, rc_ln, mems, summary,
 # ---------------------------------------------------------------------------
 
 def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
-                   mask_blocked, rng, deterministic):
-    """One Emformer layer, training path. Returns (utt_out, rc_out, next_mems)."""
+                   mask_blocked, rng, deterministic,
+                   eids: Optional[PackedEids] = None):
+    """One Emformer layer, training path. Returns (utt_out, rc_out, next_mems).
+    `eids` switches masking to sequence-packed example-id equality."""
     rngs = _rng_stream(rng)
     b, U, d = utterance.shape
     rc_len = rc_blocks.shape[1]
@@ -623,11 +722,14 @@ def _layer_forward(p, cfg: EmformerConfig, utterance, rc_blocks, mems, lengths,
         # epilogue itself (fused into one Pallas pass when supported)
         result, summary_out = _grouped_attention(
             p, cfg, G, utt_ln, rc_ln, mems, summary, lengths, rngs,
-            deterministic, rc_blocks, utterance)
+            deterministic, rc_blocks, utterance, eids=eids)
     elif cfg.segmented_attention:
         rc_utt_out, summary_out = _segmented_attention(
-            p, cfg, utt_ln, rc_ln, mems, summary, lengths, rngs, deterministic)
+            p, cfg, utt_ln, rc_ln, mems, summary, lengths, rngs,
+            deterministic, eids=eids)
     else:
+        assert eids is None, \
+            "sequence packing requires segmented_attention=True"
         query_in = jnp.concatenate([rc_ln, utt_ln, summary], axis=1)
         kv_in = jnp.concatenate([mems, rc_ln, utt_ln], axis=1)
         ap = p["attention"]

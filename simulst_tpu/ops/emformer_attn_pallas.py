@@ -205,8 +205,12 @@ def _probs_fwd(geom: AttnGeom, rate, seed_ref, q, k_ctx, mask, tile,
     return p, pd
 
 
-def _fwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
-                k_ref, v_ref, o_ref):
+def _fwd_kernel(geom: AttnGeom, rate, exact_div, has_eid, seed_ref, len_ref,
+                q_ref, k_ref, v_ref, *rest):
+    if has_eid:
+        eid_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     b, g = pl.program_id(0), pl.program_id(1)
     tile = b * geom.ng + g
     dtype = q_ref.dtype
@@ -217,6 +221,11 @@ def _fwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
     k_ctx = _load_ctx(k_ref.at[0], geom, mem_start, rc_start, utt_start)
     v_ctx = _load_ctx(v_ref.at[0], geom, mem_start, rc_start, utt_start)
     mask = _masks(geom, g, mem_start, rc_start, utt_start, len_ref[b])
+    if has_eid:
+        # sequence packing: example-id equality gate (built in XLA from the
+        # pack plan, layer-invariant; nn/emformer._packed_kernel_mask)
+        mask = mask + jnp.where(eid_ref[0, 0] != 0, 0.0, -1e9
+                                ).astype(jnp.float32)
     q = q_ref[0, 0]
 
     _, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile, exact_div)
@@ -228,8 +237,12 @@ def _fwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
     o_ref[0, 0] = jnp.concatenate(outs, axis=-1)
 
 
-def _bwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
-                k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(geom: AttnGeom, rate, exact_div, has_eid, seed_ref, len_ref,
+                q_ref, k_ref, v_ref, *rest):
+    if has_eid:
+        eid_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        do_ref, dq_ref, dk_ref, dv_ref = rest
     b, g = pl.program_id(0), pl.program_id(1)
     tile = b * geom.ng + g
     dtype = q_ref.dtype
@@ -241,6 +254,9 @@ def _bwd_kernel(geom: AttnGeom, rate, exact_div, seed_ref, len_ref, q_ref,
     k_ctx = _load_ctx(k_ref.at[0], geom, mem_start, rc_start, utt_start)
     v_ctx = _load_ctx(v_ref.at[0], geom, mem_start, rc_start, utt_start)
     mask = _masks(geom, g, mem_start, rc_start, utt_start, len_ref[b])
+    if has_eid:
+        mask = mask + jnp.where(eid_ref[0, 0] != 0, 0.0, -1e9
+                                ).astype(jnp.float32)
     q = q_ref[0, 0]
     do = do_ref[0, 0]
 
@@ -315,50 +331,69 @@ def _pad_tk(a, geom: AttnGeom):
     return jnp.pad(a, ((0, 0), (0, pad), (0, 0))) if pad else a
 
 
-def _fwd_call(q3, k, v, lengths, seed, geom: AttnGeom, rate, interpret):
+def _fwd_call(q3, k, v, lengths, seed, eid_mask, geom: AttnGeom, rate,
+              interpret):
     b, ng, nq, d = q3.shape
     k, v = _pad_tk(k, geom), _pad_tk(v, geom)
     tk = k.shape[1]
+    has_eid = eid_mask is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [seed, lengths, q3, k, v]
+    if has_eid:
+        in_specs.append(pl.BlockSpec((1, 1, nq, geom.ctx),
+                                     lambda i, j: (i, j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(eid_mask)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, geom, rate, bool(interpret)),
+        functools.partial(_fwd_kernel, geom, rate, bool(interpret), has_eid),
         grid=(b, ng),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ng, nq, d), q3.dtype),
         interpret=_interpret_mode(interpret),
-    )(seed, lengths, q3, k, v)
+    )(*args)
 
 
-def _bwd_call(q3, k, v, lengths, seed, do, geom: AttnGeom, rate, interpret):
+def _bwd_call(q3, k, v, lengths, seed, eid_mask, do, geom: AttnGeom, rate,
+              interpret):
     b, ng, nq, d = q3.shape
     tk_real = k.shape[1]
     k, v = _pad_tk(k, geom), _pad_tk(v, geom)
     tk = k.shape[1]
+    has_eid = eid_mask is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [seed, lengths, q3, k, v]
+    if has_eid:
+        in_specs.append(pl.BlockSpec((1, 1, nq, geom.ctx),
+                                     lambda i, j: (i, j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(eid_mask)
+    in_specs.append(pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(do)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, geom, rate, bool(interpret)),
+        functools.partial(_bwd_kernel, geom, rate, bool(interpret), has_eid),
         grid=(b, ng),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -373,37 +408,70 @@ def _bwd_call(q3, k, v, lengths, seed, do, geom: AttnGeom, rate, interpret):
             jax.ShapeDtypeStruct((b, tk, d), jnp.float32),
         ),
         interpret=_interpret_mode(interpret),
-    )(seed, lengths, q3, k, v, do)
+    )(*args)
     return (dq, dk[:, :tk_real].astype(k.dtype),
             dv[:, :tk_real].astype(v.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def emformer_grouped_attention(q3, k, v, lengths, seed, geom: AttnGeom,
-                               rate=0.0, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def emformer_grouped_attention(q3, k, v, lengths, seed, eid_mask,
+                               geom: AttnGeom, rate=0.0, interpret=False):
     """Fused grouped-segment attention (pre-out_proj).
 
     q3: (B, ng, nq, D) projected queries; k/v: (B, Tk, D) projected rows of
-    [mems | rc_blocks | utterance]; lengths: (B,) int32; seed: (1,) int32.
+    [mems | rc_blocks | utterance]; lengths: (B,) int32; seed: (1,) int32;
+    eid_mask: None, or (B, ng, nq, ctx) int8 (1 = visible) example-id
+    equality gate for SEQUENCE-PACKED rows (nn/emformer._packed_kernel_mask
+    builds it in the kernel's aligned-window ctx layout).
     Returns (B, ng, nq, D).
     """
-    return _fwd_call(q3, k, v, lengths, seed, geom, rate, interpret)
+    return _fwd_call(q3, k, v, lengths, seed, eid_mask, geom, rate, interpret)
 
 
-def _attn_fwd(q3, k, v, lengths, seed, geom, rate, interpret):
-    out = _fwd_call(q3, k, v, lengths, seed, geom, rate, interpret)
-    return out, (q3, k, v, lengths, seed)
+def _attn_fwd(q3, k, v, lengths, seed, eid_mask, geom, rate, interpret):
+    out = _fwd_call(q3, k, v, lengths, seed, eid_mask, geom, rate, interpret)
+    return out, (q3, k, v, lengths, seed, eid_mask)
 
 
 def _attn_bwd(geom, rate, interpret, res, g):
-    q3, k, v, lengths, seed = res
-    dq, dk, dv = _bwd_call(q3, k, v, lengths, seed, g, geom, rate, interpret)
+    q3, k, v, lengths, seed, eid_mask = res
+    dq, dk, dv = _bwd_call(q3, k, v, lengths, seed, eid_mask, g, geom, rate,
+                           interpret)
     return (dq, dk, dv,
             np.zeros(lengths.shape, jax.dtypes.float0),
-            np.zeros(seed.shape, jax.dtypes.float0))
+            np.zeros(seed.shape, jax.dtypes.float0),
+            None if eid_mask is None
+            else np.zeros(eid_mask.shape, jax.dtypes.float0))
 
 
 emformer_grouped_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+def kernel_ctx_row_map(geom: AttnGeom) -> np.ndarray:
+    """Static (ng, ctx) map: kernel context column -> key row index in the
+    [mems (n-1) | rc (n*rc) | utterance (U)] key tensor, or the last PADDED
+    row (kid there is a sentinel) for out-of-range/alignment-slack columns.
+    Mirrors _starts/_load_ctx so XLA-side per-column metadata (example ids)
+    can be gathered into exactly the layout the kernel sees."""
+    def align_down(i):
+        return (i // ALIGN) * ALIGN
+
+    pad_row = padded_tk(geom) - 1
+    mem_len = geom.n - 1
+    utt_base = mem_len + geom.n * geom.rc
+    rows = np.full((geom.ng, geom.ctx), pad_row, np.int64)
+    for g in range(geom.ng):
+        mem_start = align_down(max(g * geom.G - geom.max_mem, 0))
+        rc_start = align_down(mem_len + g * geom.G * geom.rc)
+        utt_start = align_down(
+            utt_base + max(g * geom.G * geom.seg - geom.lc, 0))
+        for w, (start, width) in enumerate(
+                [(mem_start, geom.m_win), (rc_start, geom.rc_win),
+                 (utt_start, geom.utt_win)]):
+            off = [0, geom.m_win, geom.m_win + geom.rc_win][w]
+            r = start + np.arange(width)
+            rows[g, off: off + width] = np.where(r < geom.tk, r, pad_row)
+    return rows.astype(np.int32)
 
 
 def attn_pallas_supported(geom: AttnGeom, dim: int) -> bool:

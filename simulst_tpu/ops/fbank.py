@@ -163,7 +163,11 @@ class OnlineFbank:
         self.previous_residual = np.zeros((0,), np.float32)
 
     def __call__(self, new_samples: np.ndarray) -> np.ndarray:
-        """new_samples: raw float waveform in [-1, 1]; returns (t, n_mels)."""
+        """new_samples: raw float waveform in [-1, 1], or int16 PCM (converted
+        by the exact power-of-two scale); returns (t, n_mels)."""
+        new_samples = np.asarray(new_samples)
+        if new_samples.dtype == np.int16:
+            new_samples = new_samples.astype(np.float32) / (2 ** 15)
         samples = np.concatenate([self.previous_residual,
                                   np.asarray(new_samples, np.float32)])
         n = num_frames(len(samples), self.sample_rate)

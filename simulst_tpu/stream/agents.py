@@ -18,7 +18,7 @@ Protocol (mirrors the reference's chunk geometry, default_agent.py:364-376):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +184,70 @@ def chunk_geometry_ms(cfg) -> tuple:
     return first, steady
 
 
+def _session_schedule(cfg, wavs):
+    """Lock-step schedule for a bucket: (n_first, n_steady, n_chunks,
+    sched_samples).  All wavs must share the chunk count."""
+    first_ms, steady_ms = chunk_geometry_ms(cfg)
+    n_first = int(first_ms / 1000.0 * 16000)
+    n_steady = int(steady_ms / 1000.0 * 16000)
+
+    def n_chunks_of(total):
+        consumed, k = 0, 0
+        while consumed < total:
+            consumed = min(consumed + (n_first if k == 0 else n_steady),
+                           total)
+            k += 1
+        return k
+
+    n_chunks = n_chunks_of(len(wavs[0]))
+    assert all(n_chunks_of(len(w)) == n_chunks for w in wavs), \
+        "lock-step bucket must share the chunk count"
+    sched = n_first + (n_chunks - 1) * n_steady
+    return n_first, n_steady, n_chunks, sched
+
+
+class StagedWavs(NamedTuple):
+    wav_mat: jnp.ndarray           # (B, sched) f32 or int16, on device
+    n_valid: Optional[jnp.ndarray]  # (B,) int32 final-chunk frame counts
+
+
+def stage_session_wavs(agent, wavs):
+    """Build and (asynchronously) upload the (B, sched) sample matrix (and
+    the per-example final-chunk frame counts) for a lock-step bucket AHEAD
+    of running it.
+
+    Two wins on the tunneled TPU backend (measured, exp/probe_h2d*.py):
+    int16 wavs ride at 1/4 the float32 bytes (EXACT — the fbank scales float
+    wavs by 2^15, which for PCM-derived audio reproduces the int16 sample
+    values, so uploading the int16s and casting on device is the identity);
+    and staging all buckets BEFORE the first scanned-runner call keeps the
+    uploads on the fast transfer path (loading any scan-of-step executable
+    permanently degrades later transfers — even a 4-byte upload then costs
+    ~24 ms, which is why n_valid stages here too; see docs/perf.md).
+
+    Returns StagedWavs; pass it to process_session_wavs(wavs, staged=...).
+    Single-chunk buckets take the plain batched fallback and need no staging
+    (returns None)."""
+    from simulst_tpu.ops.fbank import num_frames
+    n_first, n_steady, n_chunks, sched = _session_schedule(agent.cfg, wavs)
+    if n_chunks < 2:
+        return None
+    dt = (np.int16 if all(np.asarray(w).dtype == np.int16 for w in wavs)
+          else np.float32)
+    wav_mat = np.zeros((len(wavs), sched), dt)
+    for i, w in enumerate(wavs):
+        wav_mat[i, :len(w)] = np.asarray(w, dt)
+    last_counts = np.array(
+        [num_frames(min(sched, len(w)))
+         - num_frames(min(n_first + (n_chunks - 2) * n_steady, len(w)))
+         for w in wavs], np.int32)
+    mx_last = num_frames(sched) - num_frames(n_first
+                                             + (n_chunks - 2) * n_steady)
+    n_valid = (jnp.asarray(last_counts) if (last_counts != mx_last).any()
+               else None)
+    return StagedWavs(wav_mat=jnp.asarray(wav_mat), n_valid=n_valid)
+
+
 def _drain_writes(state, step_fn, max_rounds: int = 64):
     """Flush WRITEs still pending after the finish chunk.  Each fused step
     caps at max_writes_per_chunk device-side iterations; utterances whose
@@ -339,7 +403,9 @@ class FusedBatchSession:
 
     def _run_scanned(self, first, mid, last, n_valid, n_chunks):
         """Shared tail: run the cached scanned runner and unpack per-example,
-        per-chunk newly-emitted token lists."""
+        per-chunk newly-emitted token lists (vectorized: one cumsum + numpy
+        slice per cell instead of a python int() per token — the per-chunk
+        unpack was ~13% of scanned-eval wall time, VERDICT r4)."""
         from simulst_tpu.stream.fused import make_scanned_runner
         runner = getattr(self.agent, "_scan_runner", None)
         if runner is None:
@@ -349,18 +415,12 @@ class FusedBatchSession:
         self.state, counts = runner(self.state, first, mid, last, n_valid)
         counts = np.asarray(counts)                          # (n_chunks, B)
         toks = np.asarray(self.state.tokens)
-        out = []
-        for i in range(self.batch):
-            pos = int(n_before[i])
-            per_chunk = []
-            for k in range(n_chunks):
-                n = int(counts[k, i])
-                per_chunk.append([int(t) for t in toks[i, pos:pos + n]])
-                pos += n
-            out.append(per_chunk)
-        return out
+        ends = n_before[None, :] + np.cumsum(counts, axis=0)
+        starts = ends - counts
+        return [[toks[i, starts[k, i]:ends[k, i]].tolist()
+                 for k in range(n_chunks)] for i in range(self.batch)]
 
-    def process_session_wavs(self, wavs: List[np.ndarray]
+    def process_session_wavs(self, wavs: List[np.ndarray], staged=None
                              ) -> List[List[List[int]]]:
         """Whole-session scanned evaluation from RAW waveforms.
 
@@ -379,7 +439,14 @@ class FusedBatchSession:
         non-final chunk consumes the same sample count, so only the final
         chunk needs per-example valid counts; a shorter example's zero-pad
         tail yields garbage rows (log-epsilon floor) that encoder_step masks
-        via feat_valid before any state update."""
+        via feat_valid before any state update.
+
+        wavs may be float32 in [-1, 1] or RAW int16 PCM (uploaded at 1/4 the
+        bytes and cast on device — exact, see stage_session_wavs).  `staged`
+        optionally supplies the pre-uploaded (B, sched) sample matrix from
+        stage_session_wavs, skipping the host stack + upload here (stage all
+        buckets before the first scanned call to keep uploads on the fast
+        pre-degradation transfer path)."""
         import functools
         from simulst_tpu.ops.fbank import num_frames
 
@@ -387,22 +454,11 @@ class FusedBatchSession:
             "process_session_wavs requires a fresh session"
         B = self.batch
         assert len(wavs) == B
-        n_first = int(self.first_chunk_ms / 1000.0 * 16000)
-        n_steady = int(self.chunk_ms / 1000.0 * 16000)
         totals = [len(w) for w in wavs]
-
-        def n_chunks_of(total):
-            consumed, k = 0, 0
-            while consumed < total:
-                consumed = min(consumed + (n_first if k == 0 else n_steady),
-                               total)
-                k += 1
-            return k
-
-        n_chunks = n_chunks_of(totals[0])
-        assert all(n_chunks_of(t) == n_chunks for t in totals), \
-            "lock-step bucket must share the chunk count"
+        n_first, n_steady, n_chunks, sched_samples = _session_schedule(
+            self.agent.cfg, wavs)
         if n_chunks < 2:
+            # OnlineFbank converts int16 -> f32 itself (exact /2^15)
             out = self.process_chunk_batch([np.asarray(w) for w in wavs],
                                            finished=True)
             return [[toks] for toks in out]
@@ -420,12 +476,12 @@ class FusedBatchSession:
         last_counts = np.array([row[-1] - row[-2] for row in fcum], np.int32)
         # pad to the FULL schedule (not the batch max): featurize and the
         # finish step then compile once per chunk-count bucket, not per batch
-        sched_samples = n_first + (n_chunks - 1) * n_steady
         mx_last = num_frames(sched_samples) - fcum[0][n_chunks - 2]
 
-        wav_mat = np.zeros((B, sched_samples), np.float32)
-        for i, w in enumerate(wavs):
-            wav_mat[i, :len(w)] = np.asarray(w, np.float32)
+        if staged is None:
+            staged = stage_session_wavs(self.agent, wavs)
+        wav_mat = staged.wav_mat
+        assert wav_mat.shape == (B, sched_samples), wav_mat.shape
 
         featurize = getattr(self.agent, "_batch_featurize", None)
         if featurize is None:
@@ -435,7 +491,11 @@ class FusedBatchSession:
             @functools.partial(jax.jit,
                                static_argnames=("c0", "cs", "n_mid", "mx"))
             def featurize(wav_mat, c0, cs, n_mid, mx):
-                feats = fbank_batch_jax(wav_mat * (2 ** 15))
+                # int16 PCM: the values ARE wav * 2^15 (trace-time branch)
+                w = wav_mat.astype(jnp.float32)
+                if wav_mat.dtype != jnp.int16:
+                    w = w * (2 ** 15)
+                feats = fbank_batch_jax(w)
                 if cmvn is not None:
                     mean, std = cmvn
                     feats = (feats - jnp.asarray(mean)) / jnp.asarray(std)
@@ -449,11 +509,27 @@ class FusedBatchSession:
                 return first, mid, last
             self.agent._batch_featurize = featurize
 
-        first, mid, last = featurize(jnp.asarray(wav_mat), c0=c0, cs=cs,
-                                     n_mid=n_chunks - 2, mx=mx_last)
-        n_valid = (jnp.asarray(last_counts)
-                   if (last_counts != mx_last).any() else None)
-        return self._run_scanned(first, mid, last, n_valid, n_chunks)
+        n_valid = staged.n_valid
+        assert (n_valid is not None) == (last_counts != mx_last).any()
+        # ONE dispatch for the whole bucket: featurize + first + scan +
+        # finish + device-side drain (fused.make_session_executor) — host
+        # round trips cost ~20-30 ms each on the tunneled backend once any
+        # scan executable is resident
+        from simulst_tpu.stream.fused import make_session_executor
+        exec_run = getattr(self.agent, "_session_exec", None)
+        if exec_run is None:
+            exec_run = make_session_executor(self.step_fn, featurize)
+            self.agent._session_exec = exec_run
+        n_before = np.asarray(self.state.n_tokens)
+        self.state, counts = exec_run(self.state, wav_mat, n_valid,
+                                      c0=c0, cs=cs, n_mid=n_chunks - 2,
+                                      mx=mx_last)
+        counts = np.asarray(counts)                          # (n_chunks, B)
+        toks = np.asarray(self.state.tokens)
+        ends = n_before[None, :] + np.cumsum(counts, axis=0)
+        starts = ends - counts
+        return [[toks[i, starts[k, i]:ends[k, i]].tolist()
+                 for k in range(n_chunks)] for i in range(self.batch)]
 
 
 class MMAAgent(SpeechAgent):

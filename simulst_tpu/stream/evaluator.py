@@ -262,7 +262,7 @@ def _chunk_count(n_samples: int, first: int, steady: int) -> int:
 
 
 def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
-                     scan: bool = False):
+                     scan: bool = False, staged=None):
     """Run len(wavs) same-chunk-count utterances lock-step through one
     batched fused session.  Returns per-example (words, delays, elapsed).
 
@@ -295,7 +295,7 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
             consumed_at.append(marks)
         # device-side batched fbank + chunk assembly (token-for-token equal
         # to process_session on host-extracted features)
-        out = session.process_session_wavs(wavs)
+        out = session.process_session_wavs(wavs, staged=staged)
         wall = (time.perf_counter() - t0) * 1000.0
         trunc = session.truncated
         for i in range(B):
@@ -348,19 +348,31 @@ def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
     for i, w in enumerate(wavs):
         buckets.setdefault(_chunk_count(len(w), n_first, n_steady), []).append(i)
 
+    groups = [(k, idxs[lo: lo + batch_size])
+              for k, idxs in sorted(buckets.items())
+              for lo in range(0, len(idxs), batch_size)]
+    stages = [None] * len(groups)
+    if scan:
+        # stage every bucket's sample matrix BEFORE the first scanned call:
+        # uploads then ride the fast transfer path (the scan executable
+        # permanently degrades later h2d on the tunneled backend — see
+        # agents.stage_session_wavs / docs/perf.md) and pipeline ahead of
+        # compute (jnp.asarray is async)
+        from simulst_tpu.stream.agents import stage_session_wavs
+        stages = [stage_session_wavs(agent, [wavs[i] for i in group])
+                  for _, group in groups]
+
     instances: List[Optional[Instance]] = [None] * len(wavs)
-    for k, idxs in sorted(buckets.items()):
-        for lo in range(0, len(idxs), batch_size):
-            group = idxs[lo: lo + batch_size]
-            results = _run_fused_batch(agent, [wavs[i] for i in group], k,
-                                       scan=scan)
-            for i, (words, delays, elapsed, trunc) in zip(group, results):
-                instances[i] = Instance(
-                    index=i, prediction=" ".join(words),
-                    reference=references[i] if references else "",
-                    delays=delays, elapsed=elapsed,
-                    source_length_ms=len(wavs[i]) / SAMPLE_RATE * 1e3,
-                    truncated=trunc)
+    for (k, group), staged in zip(groups, stages):
+        results = _run_fused_batch(agent, [wavs[i] for i in group], k,
+                                   scan=scan, staged=staged)
+        for i, (words, delays, elapsed, trunc) in zip(group, results):
+            instances[i] = Instance(
+                index=i, prediction=" ".join(words),
+                reference=references[i] if references else "",
+                delays=delays, elapsed=elapsed,
+                source_length_ms=len(wavs[i]) / SAMPLE_RATE * 1e3,
+                truncated=trunc)
 
     return _score_and_log(instances, bool(references), log_path,
                           mode="scan" if scan else "stepwise")

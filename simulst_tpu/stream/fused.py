@@ -437,7 +437,115 @@ def make_transducer_fused_step(model, params, max_writes_per_chunk: int = 64):
 # (SimulEval agent protocol, default_agent.py:364-413).
 # ---------------------------------------------------------------------------
 
-def make_scanned_runner(step_fn):
+def make_session_executor(step_fn, featurize_fn):
+    """Whole-session evaluation in ONE dispatch per lock-step bucket.
+
+    run(state, wav_mat, n_valid, c0=, cs=, n_mid=, mx=) jits
+    featurize -> first chunk -> lax.scan over steady chunks -> finish chunk
+    -> device-side drain while_loop into a single XLA call, returning
+    (final state, per-chunk token counts (n_chunks, B)).
+
+    Token-for-token identical to make_scanned_runner + a host drain loop
+    (same step function; the drain stops exactly like stream.agents.
+    _drain_writes: every example finished/full, or a round that emits
+    nothing).  The point is host round trips: on the tunneled backend each
+    dispatch/sync costs ~20-30 ms once any scan executable is resident
+    (docs/perf.md transfer note), so the previous 3 dispatches + drain
+    checks dominated scanned-eval wall time.
+    """
+    step_params = getattr(step_fn, "params", None)
+    cache = {}
+
+    def run(state, wav_mat, n_valid, *, c0: int, cs: int, n_mid: int,
+            mx: int):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        is_dyn = tuple(isinstance(l, jnp.ndarray) for l in leaves)
+        statics = tuple(None if d else l for l, d in zip(leaves, is_dyn))
+        key = (treedef, is_dyn, statics)
+        if key not in cache:
+            def split(st):
+                ls = jax.tree_util.tree_leaves(st)
+                return [l for l, d in zip(ls, is_dyn) if d]
+
+            def rebuild(dyn, sts):
+                it = iter(dyn)
+                return jax.tree_util.tree_unflatten(
+                    treedef,
+                    [next(it) if d else s for s, d in zip(sts, is_dyn)])
+
+            def restatics(st):
+                return tuple(None if d else l for l, d in
+                             zip(jax.tree_util.tree_leaves(st), is_dyn))
+
+            final_statics = {}
+
+            @functools.partial(jax.jit, static_argnames=(
+                "c0", "cs", "n_mid", "mx", "has_valid"))
+            def exe(params, dyn, wav_mat, n_valid, c0, cs, n_mid, mx,
+                    has_valid):
+                def call(st, feats, finish=False, nv=None):
+                    if params is None:
+                        return step_fn(st, feats, finish=finish, n_valid=nv)
+                    return step_fn(st, feats, finish=finish, n_valid=nv,
+                                   params_override=params)
+
+                first, mid, last = featurize_fn(wav_mat, c0=c0, cs=cs,
+                                                n_mid=n_mid, mx=mx)
+                st = rebuild(dyn, statics)
+                st, n0 = call(st, first)
+                counts = [n0[None]]
+                if n_mid > 0:
+                    mid_statics = restatics(st)
+
+                    def body(dyn_c, feats):
+                        s, nn = call(rebuild(dyn_c, mid_statics), feats)
+                        assert restatics(s) == mid_statics, \
+                            "fused state statics changed mid-scan"
+                        return split(s), nn
+                    dyn_c, ns = jax.lax.scan(body, split(st), mid)
+                    st = rebuild(dyn_c, mid_statics)
+                    counts.append(ns)
+                before_finish = st.n_tokens
+                st, _ = call(st, last, finish=True,
+                             nv=n_valid if has_valid else None)
+                fin_statics = restatics(st)
+                tmax = st.tokens.shape[1]
+
+                def drain_cond(c):
+                    dyn_c, prev, rounds = c
+                    s = rebuild(dyn_c, fin_statics)
+                    pending = (~s.finished) & (s.n_tokens < tmax - 1)
+                    progressed = (s.n_tokens != prev).any() | (rounds == 0)
+                    return pending.any() & progressed & (rounds < 64)
+
+                def drain_body(c):
+                    dyn_c, prev, rounds = c
+                    s = rebuild(dyn_c, fin_statics)
+                    prev2 = s.n_tokens
+                    s2, _ = call(s, None, finish=True)
+                    assert restatics(s2) == fin_statics
+                    return split(s2), prev2, rounds + 1
+
+                dyn_c, _, _ = jax.lax.while_loop(
+                    drain_cond, drain_body,
+                    (split(st), jnp.full_like(st.n_tokens, -1),
+                     jnp.zeros((), jnp.int32)))
+                st = rebuild(dyn_c, fin_statics)
+                # drained tokens are attributed to the finish chunk
+                counts.append((st.n_tokens - before_finish)[None])
+                # stash the trace-time final statics (e.g. the encoder's
+                # carry_len plan) so the caller can rebuild the pytree
+                final_statics[(c0, cs, n_mid, mx, has_valid)] = fin_statics
+                return split(st), jnp.concatenate(counts, axis=0)
+
+            cache[key] = (split, rebuild, exe, final_statics)
+        split, rebuild, exe, final_statics = cache[key]
+        dyn, counts = exe(step_params, split(state), wav_mat, n_valid,
+                          c0, cs, n_mid, mx, n_valid is not None)
+        fin = final_statics[(c0, cs, n_mid, mx, n_valid is not None)]
+        return rebuild(list(dyn), fin), counts
+
+    return run
     """Wrap a fused step (from make_*_fused_step) into
     run(state, first, mid, last, last_valid) -> (state, counts):
 

@@ -95,3 +95,31 @@ def test_transducer_scanned_matches_chunked(tmp_path, downsample):
     for i, ((pc, dc), (ps, ds)) in enumerate(zip(chunked, scanned)):
         assert pc == ps, f"utt {i}: {pc!r} != {ps!r}"
         np.testing.assert_allclose(dc, ds, atol=1e-6, err_msg=f"utt {i}")
+
+
+def test_int16_staged_matches_float_unstaged():
+    """int16 PCM wavs uploaded via stage_session_wavs (1/4 the bytes, cast
+    on device) must produce token-for-token the same session as float32
+    wavs through the unstaged path: the fbank's float path scales by 2^15,
+    which is exactly the int16 sample value (both paths feed identical
+    numbers into the device fbank)."""
+    from simulst_tpu.stream.agents import stage_session_wavs
+
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = CIFAgent(model, params, v, acfg, fused=True)
+
+    rng = np.random.RandomState(3)
+    i16 = [(rng.randn(int(16000 * s)) * 1500).astype(np.int16)
+           for s in (1.0, 0.95, 1.0)]
+    f32 = [w.astype(np.float32) / (2 ** 15) for w in i16]
+
+    ref = agent.new_batched_session(3).process_session_wavs(f32)
+    staged = stage_session_wavs(agent, i16)
+    assert staged.wav_mat.dtype == np.int16
+    out = agent.new_batched_session(3).process_session_wavs(i16,
+                                                            staged=staged)
+    assert out == ref
