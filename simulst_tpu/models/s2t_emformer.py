@@ -159,6 +159,42 @@ def encoder_forward(params, cfg: S2TEmformerConfig, feats, feat_lengths, *,
     return EncoderOut(encoder_out=enc, lengths=lengths, ctc_logits=ctc_logits)
 
 
+def encoder_forward_packed(params, cfg: S2TEmformerConfig, feats,
+                           feat_lengths, plan, *, rng=None,
+                           deterministic=True) -> EncoderOut:
+    """Training forward with SEQUENCE PACKING (train/packing.py).
+
+    The conv frontend (subsampler + conv-pos; cross-frame receptive fields)
+    runs on the padded (B, T) layout exactly like encoder_forward; the
+    Emformer stack — ~80% of train FLOPs — runs over packed rows with
+    example-id masking, then unpacks for the CTC head / decoder.
+    Deterministic outputs equal encoder_forward exactly on every valid
+    frame (tests/test_packing.py); `plan` is a packing.PackPlan whose array
+    shapes are static per (n_rows, geometry) so this jits once per bucket.
+    """
+    ecfg = cfg.emformer
+    feats = feats.astype(cfg.compute_dtype)
+    x, lengths = cnv.subsampler_apply(params["subsample"], feats, feat_lengths)
+    x = cfg.embed_scale * x
+    x = x + cnv.conv_pos_apply(params["conv_pos"], x, cfg.conv_pos_groups)
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = dropout(sub, x, cfg.dropout, deterministic)
+    valid = jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+    x = jnp.where(valid[:, :, None], x, 0.0)
+
+    from simulst_tpu.train import packing
+    packed, rc_blocks = packing.pack_frames(x, plan)
+    enc_p = emf.emformer_forward_packed(
+        params["emformer"], ecfg, packed, rc_blocks, plan.frame_eid,
+        plan.seg_eid, rng=rng, deterministic=deterministic)
+    enc = packing.unpack_frames(enc_p, plan, x.shape[0], x.shape[1])
+    ctc_logits = None
+    if "ctc_layer" in params:
+        ctc_logits = linear(params["ctc_layer"], enc)
+    return EncoderOut(encoder_out=enc, lengths=lengths, ctc_logits=ctc_logits)
+
+
 # ---------------------------------------------------------------------------
 # streaming encoder session
 # ---------------------------------------------------------------------------

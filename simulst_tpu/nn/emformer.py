@@ -811,6 +811,47 @@ def emformer_forward(params, cfg: EmformerConfig, x, lengths, *, rng=None,
     return out, states
 
 
+def emformer_forward_packed(params, cfg: EmformerConfig, utterance, rc_blocks,
+                            frame_eid, seg_eid, *, rng=None,
+                            deterministic=True):
+    """Training forward over SEQUENCE-PACKED rows (train/packing.py).
+
+    utterance: (R, Up, D) packed frontend features (dead frames zero);
+    rc_blocks: (R, n*rc, D) right-context gathered with ZERO rows at example
+    boundaries (pack_frames); frame_eid (R, Up) / seg_eid (R, n): example
+    ids, -1 dead.  Deterministic outputs at every frame of every example
+    equal the padded-batch emformer_forward exactly (tested in
+    tests/test_packing.py); with dropout the packed layout draws its own
+    valid masks.  Returns (R, Up, D); unpack with packing.unpack_frames.
+    """
+    assert cfg.segmented_attention, \
+        "sequence packing requires segmented_attention=True"
+    layer_rngs = (jax.random.split(rng, cfg.num_layers)
+                  if rng is not None else [None] * cfg.num_layers)
+    U = utterance.shape[1]
+    n = _num_segs(U, cfg.segment)
+    assert U == n * cfg.segment, "packed rows must be whole segments"
+    eids = make_packed_eids(cfg, U, frame_eid, seg_eid, utterance.shape[-1])
+    if cfg.use_mem:
+        mems = _segment_means(utterance, cfg.segment)[:, :n - 1]
+    else:
+        mems = utterance[:, :0]
+    lengths = jnp.full((utterance.shape[0],), U, jnp.int32)
+
+    def one_layer(layer, out, rc_blocks, mems, lrng):
+        return _layer_forward(layer, cfg, out, rc_blocks, mems, lengths,
+                              None, lrng, deterministic, eids=eids)
+
+    if cfg.remat:
+        one_layer = jax.checkpoint(one_layer)
+    out = utterance
+    for layer, lrng in zip(params["layers"], layer_rngs):
+        out, rc_blocks, mems = one_layer(layer, out, rc_blocks, mems, lrng)
+    if cfg.normalize_before:
+        out = layer_norm(params["final_ln"], out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming
 # ---------------------------------------------------------------------------

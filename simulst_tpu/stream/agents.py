@@ -125,6 +125,20 @@ class SpeechAgent:
         self.global_cmvn = global_cmvn
         self.enc_step = s2t.make_encoder_stepper(params["encoder"], self.cfg)
 
+    def _fused_init_cached(self, batch: int):
+        """Fresh-session initial state, cached per batch size.  The state is
+        an immutable pytree of zeros, so sessions can share one copy; a
+        per-session rebuild is ~30 tiny device allocations, each paying the
+        tunneled backend's post-degradation dispatch latency (~20 ms) —
+        ~600 ms of fixed cost per evaluation batch before this cache."""
+        cache = getattr(self, "_init_states", None)
+        if cache is None:
+            cache = self._init_states = {}
+        st = cache.get(batch)
+        if st is None:
+            st = cache[batch] = self._fused_init(batch)
+        return st
+
     def new_session(self) -> StreamingSession:
         return self.session_cls(self)
 
@@ -553,12 +567,13 @@ class MMAAgent(SpeechAgent):
 
     def new_session(self):
         if self.fused:
-            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+            return FusedChunkSession(self, self._fused_init_cached(1),
+                                     self._fused_step)
         return super().new_session()
 
     def new_batched_session(self, batch: int) -> FusedBatchSession:
         assert self.fused, "batched streaming requires fused=True"
-        return FusedBatchSession(self, self._fused_init(batch),
+        return FusedBatchSession(self, self._fused_init_cached(batch),
                                  self._fused_step, batch)
 
 
@@ -658,12 +673,13 @@ class CIFAgent(SpeechAgent):
 
     def new_session(self):
         if self.fused:
-            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+            return FusedChunkSession(self, self._fused_init_cached(1),
+                                     self._fused_step)
         return super().new_session()
 
     def new_batched_session(self, batch: int) -> FusedBatchSession:
         assert self.fused, "batched streaming requires fused=True"
-        return FusedBatchSession(self, self._fused_init(batch),
+        return FusedBatchSession(self, self._fused_init_cached(batch),
                                  self._fused_step, batch)
 
 
@@ -738,10 +754,11 @@ class TransducerAgent(SpeechAgent):
 
     def new_session(self):
         if self.fused:
-            return FusedChunkSession(self, self._fused_init(), self._fused_step)
+            return FusedChunkSession(self, self._fused_init_cached(1),
+                                     self._fused_step)
         return super().new_session()
 
     def new_batched_session(self, batch: int) -> FusedBatchSession:
         assert self.fused, "batched streaming requires fused=True"
-        return FusedBatchSession(self, self._fused_init(batch),
+        return FusedBatchSession(self, self._fused_init_cached(batch),
                                  self._fused_step, batch)

@@ -34,7 +34,10 @@ import numpy as np
 
 
 class PackPlan(NamedTuple):
-    """Host-built gather maps for one batch (shapes static per geometry).
+    """Host-built gather maps for one batch.  Shapes are static per
+    (geometry, n_rows); VALUES change per batch, so a jitted train step can
+    take the plan as a runtime argument without retracing (every field is an
+    array leaf — row/ length info rides in the shapes).
 
     All "flat" indices address the (B*U,)-flattened frame axis with B*U as
     the zero-row sentinel (arrays are padded with one zero row before the
@@ -44,8 +47,6 @@ class PackPlan(NamedTuple):
     seg_eid: np.ndarray        # (R, n_p) int32 example id | -1 dead
     rc_gather: np.ndarray      # (R, n_p*rc) int32 -> flat PACKED frame | R*Up
     unpack_gather: np.ndarray  # (B, U) int32 -> flat packed frame | R*Up
-    n_rows: int
-    row_len: int               # Up = n_p * seg
 
 
 def plan_capacity(lengths, seg: int) -> int:
@@ -111,23 +112,22 @@ def pack_plan(lengths, U: int, seg: int, rc: int, n_rows: int) -> PackPlan:
                     frame_eid=frame_eid.astype(np.int32),
                     seg_eid=seg_eid.astype(np.int32),
                     rc_gather=rc_gather.astype(np.int32),
-                    unpack_gather=unpack.astype(np.int32),
-                    n_rows=n_rows, row_len=Up)
+                    unpack_gather=unpack.astype(np.int32))
 
 
 def pack_frames(x, plan: PackPlan):
     """x: (B, U, D) post-frontend features (already zeroed beyond lengths)
     -> (packed (R, Up, D), rc_blocks (R, n_p*rc, D))."""
     b, u, d = x.shape
+    R, Up = plan.frame_gather.shape
     flat = jnp.concatenate([x.reshape(b * u, d),
                             jnp.zeros((1, d), x.dtype)], axis=0)
     fg = jnp.minimum(jnp.asarray(plan.frame_gather), b * u)
-    packed = jnp.take(flat, fg.reshape(-1), axis=0).reshape(
-        plan.n_rows, plan.row_len, d)
+    packed = jnp.take(flat, fg.reshape(-1), axis=0).reshape(R, Up, d)
     pflat = jnp.concatenate([packed.reshape(-1, d),
                              jnp.zeros((1, d), x.dtype)], axis=0)
     rc = jnp.take(pflat, jnp.asarray(plan.rc_gather).reshape(-1),
-                  axis=0).reshape(plan.n_rows, -1, d)
+                  axis=0).reshape(R, -1, d)
     return packed, rc
 
 

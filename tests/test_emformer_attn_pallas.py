@@ -60,8 +60,8 @@ _INTERP = jax.default_backend() == "cpu"
 
 
 def _kernel(q3, k, v, lengths, seed):
-    return emformer_grouped_attention(q3, k, v, lengths, seed, GEOM, 0.0,
-                                      _INTERP)
+    return emformer_grouped_attention(q3, k, v, lengths, seed, None, GEOM,
+                                      0.0, _INTERP)
 
 
 def test_forward_matches_gathered_softmax():
@@ -105,7 +105,8 @@ def test_emformer_forward_uses_kernel_equivalently(monkeypatch):
     monkeypatch.setattr(em, "attn_pallas_supported", lambda g, d: True)
     monkeypatch.setattr(
         em, "emformer_grouped_attention",
-        lambda q, k, v, l, s, geom, rate: orig(q, k, v, l, s, geom, rate, True))
+        lambda q, k, v, l, s, eid, geom, rate: orig(q, k, v, l, s, eid, geom,
+                                                    rate, True))
     out, _ = em.emformer_forward(params, cfg, x, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
