@@ -192,20 +192,21 @@ def bench_fused_chunk(kind, dtype, batch=1):
     return _time(step, n_iter=20) / CHAIN
 
 
-def bench_eval_throughput(dtype, batch=8, n_chunks=16, n_batches=10):
-    """Scanned-session evaluation throughput: n_batches DISTINCT batches of
-    B utterances x (n_chunks chunks = ~10s audio each) through
-    CIFAgent.process_session_wavs.
+def bench_eval_throughput(dtype, sizes=((8, 10), (64, 4)), n_chunks=16):
+    """Scanned-session evaluation throughput: for each (B, n_batches) in
+    `sizes`, n_batches DISTINCT batches of B utterances x (n_chunks chunks
+    = ~10.6s audio each) through CIFAgent.process_session_wavs.
 
     The measured pipeline is the production evaluator's (stream/evaluator
     evaluate_batched(scan=True)): int16 PCM wavs (the on-disk format; 1/4
-    the f32 upload bytes) are STAGED for every batch up front — uploads ride
-    the fast pre-degradation transfer path and pipeline ahead of compute —
-    then each batch runs first-chunk + one lax.scan + finish.  Reported wall
-    time INCLUDES the staging; compile is warmed on a separate extra batch.
-    Returns (utterances/sec, x-realtime aggregate).  The reference caps at
-    B==1 with a host round trip per READ/WRITE (cif_agent.py:341-343,
-    default_agent.py:364-413)."""
+    the f32 upload bytes) are STAGED for EVERY size's batches up front —
+    uploads ride the fast pre-degradation transfer path and pipeline ahead
+    of compute — then each batch runs featurize + first chunk + lax.scan +
+    finish + drain as ONE dispatch (fused.make_session_executor).  Reported
+    wall time INCLUDES each size's staging share; compile warms on a
+    separate extra batch.  Returns {B: (utt/sec, x_realtime)}.  The
+    reference caps at B==1 with a host round trip per READ/WRITE
+    (cif_agent.py:341-343, default_agent.py:364-413)."""
     import numpy as np
     from simulst_tpu.data.vocab import SPECIALS, Vocabulary
     from simulst_tpu.models.cif import CIFConfig, CIFModel
@@ -224,33 +225,34 @@ def bench_eval_throughput(dtype, batch=8, n_chunks=16, n_batches=10):
     first_ms, steady_ms = chunk_geometry_ms(cfg)
     n_first = int(first_ms / 1000.0 * 16000)
     n_steady = int(steady_ms / 1000.0 * 16000)
-    rng = np.random.RandomState(0)
     audio_s = (first_ms + (n_chunks - 1) * steady_ms) / 1000.0
     n_samp = n_first + (n_chunks - 1) * n_steady
 
-    def make_batch(seed):
+    def make_batch(batch, seed):
         r = np.random.RandomState(seed)
         return [(r.randn(n_samp) * (1500 + 300 * i)).astype(np.int16)
                 for i in range(batch)]
 
-    batches = [make_batch(s) for s in range(1, n_batches + 1)]
-    warm = make_batch(0)
+    batches, warms, stages, t_stage = {}, {}, {}, {}
+    for B, nb in sizes:
+        batches[B] = [make_batch(B, s) for s in range(1, nb + 1)]
+        warms[B] = make_batch(B, 0)
+    for B, nb in sizes:                   # stage EVERYTHING before compile
+        t0 = time.perf_counter()
+        stages[B] = [stage_session_wavs(agent, w) for w in batches[B]]
+        jax.block_until_ready(stages[B][-1].wav_mat)
+        t_stage[B] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    stages = [stage_session_wavs(agent, wavs) for wavs in batches]
-    jax.block_until_ready(stages[-1].wav_mat)
-    t_stage = time.perf_counter() - t0
-
-    # compile (loads the scan executable -> degrades LATER uploads, which is
-    # exactly why the measured batches staged above)
-    agent.new_batched_session(batch).process_session_wavs(warm)
-
-    t1 = time.perf_counter()
-    for wavs, st in zip(batches, stages):
-        agent.new_batched_session(batch).process_session_wavs(wavs, staged=st)
-    dt = t_stage + (time.perf_counter() - t1)
-    ups = n_batches * batch / dt
-    return ups, ups * audio_s
+    out = {}
+    for B, nb in sizes:
+        agent.new_batched_session(B).process_session_wavs(warms[B])  # compile
+        t1 = time.perf_counter()
+        for wavs, st in zip(batches[B], stages[B]):
+            agent.new_batched_session(B).process_session_wavs(wavs, staged=st)
+        dt = t_stage[B] + (time.perf_counter() - t1)
+        ups = nb * B / dt
+        out[B] = (ups, ups * audio_s)
+    return out
 
 
 def _peak_flops(dtype) -> float:
@@ -267,7 +269,8 @@ def _peak_flops(dtype) -> float:
     return peak
 
 
-def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
+def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
+                     packed=False):
     """Jitted fwd+bwd at the Bx1024 geometry (rbg dropout keys, the train
     CLI default).  B=32 is the headline (comparable across rounds); the
     B=64 extra shows throughput with fixed costs amortized.
@@ -276,12 +279,18 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
     (frame lengths spread 0.7T..T, target lengths 0.6U..U, zero-padded like
     the batcher) and additionally returns the EFFECTIVE non-pad frames/s —
     the honest throughput number for real data, vs the full-length batch
-    that flatters MFU (VERDICT r3 weak #4)."""
+    that flatters MFU (VERDICT r3 weak #4).
+
+    packed=True (implies padded) additionally routes the Emformer stack
+    through SEQUENCE-PACKED rows (train/packing.py): the same bucketed
+    batch runs over ceil(total_segments / row_segments) rows instead of B,
+    recovering most of the padding gap."""
     jax.config.update("jax_default_prng_impl", "rbg")
     import numpy as np
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
 
+    padded = padded or packed
     T, U = 1024, 64
     cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
                                 compute_dtype=dtype_name)
@@ -299,6 +308,21 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
         tlen = np.linspace(0.6 * U, U, B).astype(np.int32)
         tokens = jnp.where(jnp.arange(U)[None, :] < jnp.asarray(tlen)[:, None],
                            tokens, 1)  # padding_idx
+    plan = None
+    if packed:
+        from simulst_tpu.nn import conv as cnv
+        from simulst_tpu.train import packing
+        l4 = np.asarray(cnv.subsampler_apply(
+            params["encoder"]["subsample"], feats, lengths)[1])
+        ecfg = cfg.emformer
+        n0 = (T // cfg.stride) // ecfg.segment
+        # rows sized for 2-3 examples: same-length rows can't pair anything
+        # under length-sorted bucketing (see packing.choose_row_segments)
+        n_p = packing.choose_row_segments(
+            l4, ecfg.segment, packing.usable_row_segments(ecfg, n0, 4 * n0))
+        plan = packing.pack_plan(l4, n_p * ecfg.segment, ecfg.segment,
+                                 ecfg.right_context)
+        plan = packing.PackPlan(*[jnp.asarray(a) for a in plan])
     lcfg = JointCTCConfig()
 
     @jax.jit
@@ -307,7 +331,8 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False):
         def loss_fn(p):
             logits, extra = model.forward(p, f, lengths, tokens,
                                           rng=jax.random.PRNGKey(3),
-                                          deterministic=False)
+                                          deterministic=False,
+                                          pack_plan=plan)
             loss, _ = joint_ctc_loss(logits, extra, tokens, lcfg)
             return loss / (B * U)
         loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -466,11 +491,11 @@ def main():
 
     # eval runs FIRST: its staged uploads must precede the first
     # scan-of-step executable in this process (docs/perf.md transfer note)
-    ups, xrt = bench_eval_throughput(dtype)
+    ev = bench_eval_throughput(dtype)
+    ups, xrt = ev[8]
     extra["eval_throughput_utt_per_sec"] = round(ups, 1)
     extra["eval_throughput_x_realtime"] = round(xrt)
-    ups32, _ = bench_eval_throughput(dtype, batch=32, n_batches=4)
-    extra["eval_throughput_b32_utt_per_sec"] = round(ups32, 1)
+    extra["eval_throughput_b64_utt_per_sec"] = round(ev[64][0], 1)
     print(json.dumps({"metric": "scanned_eval_throughput",
                       "value": round(ups, 1), "unit": "utterances_per_sec_b8_10s",
                       "vs_baseline": round(xrt)}))
@@ -523,6 +548,10 @@ def main():
     extra["train_padded_step_latency_ms"] = round(pad_ms, 3)
     extra["train_padded_eff_frames_per_sec"] = round(eff_fps)
     extra["train_padded_eff_mfu"] = round(eff_mfu, 4)
+    pk_ms, pk_fps, pk_mfu = bench_train_step(packed=True)
+    extra["train_packed_step_latency_ms"] = round(pk_ms, 3)
+    extra["train_packed_eff_frames_per_sec"] = round(pk_fps)
+    extra["train_packed_eff_mfu"] = round(pk_mfu, 4)
     print(json.dumps({"metric": "train_step_latency",
                       "value": round(train_ms, 3), "unit": "ms",
                       "vs_baseline": round(fps),

@@ -52,9 +52,15 @@ def build_loss(args, model):
         lcfg = cfglib.apply_overrides(JointCTCConfig(), args.loss_overrides)
 
         def fn(params, batch, rng):
+            plan = None
+            if "pack_frame_gather" in batch:
+                from simulst_tpu.train.packing import PackPlan
+                plan = PackPlan(*[batch[f"pack_{f}"]
+                                  for f in PackPlan._fields])
             logits, extra = model.forward(
                 params, batch["feats"], batch["feat_lengths"],
-                batch["prev_tokens"], rng=rng, deterministic=False)
+                batch["prev_tokens"], rng=rng, deterministic=False,
+                **({"pack_plan": plan} if plan is not None else {}))
             return joint_ctc_loss(logits, extra, batch["target"], lcfg,
                                   ctc_target=batch.get("src_target"))
     elif args.loss == "mma":
@@ -176,6 +182,11 @@ def main(argv=None):
                         "(--do-mtl parity)")
     p.add_argument("--specaugment", action="store_true", default=True)
     p.add_argument("--no-specaugment", dest="specaugment", action="store_false")
+    p.add_argument("--pack", action="store_true",
+                   help="sequence packing: run the Emformer stack over "
+                        "segment-packed rows (train/packing.py) — less "
+                        "zero-padding compute on bucketed batches; "
+                        "s2t_emformer + joint_ctc, single data shard")
     p.add_argument("--load-params", default=None,
                    help="orbax checkpoint to init params from")
     p.add_argument("--resume", default=None,
@@ -300,10 +311,39 @@ def main(argv=None):
         print(f"resumed from {args.resume} at update {start}")
 
     mesh = make_mesh()
+    if args.pack:
+        assert args.model == "s2t_emformer" and args.loss == "joint_ctc", \
+            "--pack currently supports s2t_emformer + joint_ctc"
+        assert mesh.shape["data"] == 1, \
+            "--pack with data parallelism needs per-shard plans (not wired)"
+
+    def attach_pack_plan(b):
+        """Host-side pack plan for this batch (train/packing.py): segments
+        of all examples bin-packed into rows; row count rounded up to a
+        multiple of 4 so the jitted step compiles only per (bucket, R/4)."""
+        from simulst_tpu.nn.conv import subsampler_out_lengths
+        from simulst_tpu.train import packing
+        l4 = np.asarray(subsampler_out_lengths(params["encoder"]["subsample"],
+                                               b["feat_lengths"]))
+        ecfg = mcfg.emformer
+        n0 = b["feats"].shape[1] // mcfg.stride // ecfg.segment
+        n_p = packing.choose_row_segments(
+            l4, ecfg.segment, packing.usable_row_segments(ecfg, n0, 4 * n0))
+        Up = n_p * ecfg.segment
+        plan = packing.pack_plan(l4, Up, ecfg.segment, ecfg.right_context)
+        r = plan.frame_gather.shape[0]
+        if r % 4:
+            plan = packing.pack_plan(l4, Up, ecfg.segment, ecfg.right_context,
+                                     n_rows=r + 4 - r % 4)
+        for f in packing.PackPlan._fields:
+            b[f"pack_{f}"] = getattr(plan, f)
+        return b
 
     def batches(epoch):
         for b in make_ds_batches(train_ds, epoch=epoch):
             b.pop("ids", None); b.pop("n_real", None); b.pop("indices", None)
+            if args.pack:
+                b = attach_pack_plan(b)
             yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items()})
 
     state = trainer.fit(batches)

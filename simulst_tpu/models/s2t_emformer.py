@@ -414,13 +414,22 @@ class S2TEmformerModel:
                 "decoder": tfm.decoder_init(kd, self.cfg.decoder, dtype)}
 
     def forward(self, params, feats, feat_lengths, prev_tokens, *, rng=None,
-                deterministic=True):
-        """Returns (logits (B,T,V), extra dict)."""
+                deterministic=True, pack_plan=None):
+        """Returns (logits (B,T,V), extra dict).  `pack_plan` (a
+        train/packing.PackPlan for this batch's post-subsample lengths)
+        routes the Emformer stack through sequence-packed rows — identical
+        outputs, less zero-padding compute on bucketed batches."""
         r1 = r2 = None
         if rng is not None:
             r1, r2 = jax.random.split(rng)
-        enc = encoder_forward(params["encoder"], self.cfg, feats, feat_lengths,
-                              rng=r1, deterministic=deterministic)
+        if pack_plan is not None:
+            enc = encoder_forward_packed(params["encoder"], self.cfg, feats,
+                                         feat_lengths, pack_plan, rng=r1,
+                                         deterministic=deterministic)
+        else:
+            enc = encoder_forward(params["encoder"], self.cfg, feats,
+                                  feat_lengths, rng=r1,
+                                  deterministic=deterministic)
         enc_valid = jnp.arange(enc.encoder_out.shape[1])[None, :] < enc.lengths[:, None]
         logits = tfm.decoder_forward(params["decoder"], self.cfg.decoder,
                                      prev_tokens, enc.encoder_out, enc_valid,

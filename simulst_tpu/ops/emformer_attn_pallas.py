@@ -223,9 +223,11 @@ def _fwd_kernel(geom: AttnGeom, rate, exact_div, has_eid, seed_ref, len_ref,
     mask = _masks(geom, g, mem_start, rc_start, utt_start, len_ref[b])
     if has_eid:
         # sequence packing: example-id equality gate (built in XLA from the
-        # pack plan, layer-invariant; nn/emformer._packed_kernel_mask)
-        mask = mask + jnp.where(eid_ref[0, 0] != 0, 0.0, -1e9
-                                ).astype(jnp.float32)
+        # pack plan, layer-invariant; nn/emformer.make_packed_eids).  Kept
+        # arithmetic (visible=1 -> +0, blocked=0 -> -1e9): a boolean compare
+        # here produced an i1 vector whose relayout Mosaic rejects.
+        mask = mask + (eid_ref[0, 0].astype(jnp.float32) - 1.0) \
+            * np.float32(1e9)
     q = q_ref[0, 0]
 
     _, pd = _probs_fwd(geom, rate, seed_ref, q, k_ctx, mask, tile, exact_div)
@@ -255,8 +257,8 @@ def _bwd_kernel(geom: AttnGeom, rate, exact_div, has_eid, seed_ref, len_ref,
     v_ctx = _load_ctx(v_ref.at[0], geom, mem_start, rc_start, utt_start)
     mask = _masks(geom, g, mem_start, rc_start, utt_start, len_ref[b])
     if has_eid:
-        mask = mask + jnp.where(eid_ref[0, 0] != 0, 0.0, -1e9
-                                ).astype(jnp.float32)
+        mask = mask + (eid_ref[0, 0].astype(jnp.float32) - 1.0) \
+            * np.float32(1e9)
     q = q_ref[0, 0]
     do = do_ref[0, 0]
 

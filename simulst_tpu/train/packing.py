@@ -27,7 +27,7 @@ The reference (fairseq) only length-buckets, never packs
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -55,10 +55,57 @@ def plan_capacity(lengths, seg: int) -> int:
     return int(np.ceil(lengths / seg).sum())
 
 
-def pack_plan(lengths, U: int, seg: int, rc: int, n_rows: int) -> PackPlan:
+def _ffd_rows(items, cap: int) -> int:
+    """First-fit-decreasing bin count for `items` into bins of `cap`."""
+    free = []
+    for it in sorted(items, reverse=True):
+        for i, f in enumerate(free):
+            if f >= it:
+                free[i] -= it
+                break
+        else:
+            free.append(cap - it)
+    return len(free)
+
+
+def choose_row_segments(lengths, seg: int, candidates) -> int:
+    """Row length (in segments) minimizing total packed slots (rows x n_p)
+    over `candidates`, by FFD simulation.
+
+    Bin quantization matters more than bin size: with length-sorted
+    bucketing all examples are near the bucket length, so same-size rows
+    can't pair anything (R == B, zero saving) while rows sized for 2-3
+    examples recover most of the pad fraction.  Ties prefer the smallest
+    n_p (smaller kernel masks, more rows of parallelism)."""
+    segs = np.ceil(np.asarray(lengths) / seg).astype(np.int64)
+    best = None
+    for n_p in candidates:
+        if n_p < segs.max():
+            continue
+        slots = _ffd_rows(list(segs), n_p) * n_p
+        if best is None or slots < best[0] or \
+                (slots == best[0] and n_p < best[1]):
+            best = (slots, n_p)
+    assert best is not None, "no usable row length"
+    return best[1]
+
+
+def usable_row_segments(ecfg, n_min: int, n_max: int):
+    """Row segment counts in [n_min, n_max] whose geometry keeps the grouped
+    attention path (G > 1: the Pallas kernel / grouped XLA fallback)."""
+    from simulst_tpu.nn.emformer import _choose_group
+    return [n for n in range(n_min, n_max + 1)
+            if _choose_group(n, n * ecfg.segment, ecfg) > 1]
+
+
+def pack_plan(lengths, U: int, seg: int, rc: int,
+              n_rows: Optional[int] = None) -> PackPlan:
     """First-fit-decreasing segment-granular bin packing of B examples with
-    post-subsample `lengths` (padded layout (B, U)) into `n_rows` rows of
-    n_p = U // seg segments each.  Raises if the examples don't fit."""
+    post-subsample `lengths` (padded layout (B, U)) into rows of
+    n_p = U // seg segments each.  n_rows=None sizes the plan to however
+    many rows FFD needs (usually ceil(total/n_p), occasionally +1 from
+    fragmentation); a fixed n_rows (for compile-shape stability) raises if
+    the examples don't fit."""
     lengths = np.asarray(lengths, np.int64)
     B = len(lengths)
     assert U % seg == 0, (U, seg)
@@ -67,19 +114,24 @@ def pack_plan(lengths, U: int, seg: int, rc: int, n_rows: int) -> PackPlan:
     segs = np.ceil(lengths / seg).astype(np.int64)
     assert segs.max() <= n_p, "an example exceeds the packed row length"
 
+    cap = B if n_rows is None else n_rows
     order = np.argsort(-segs, kind="stable")
-    free = np.full(n_rows, n_p, np.int64)
+    free = np.full(cap, n_p, np.int64)
     place = np.zeros((B, 2), np.int64)          # (row, seg offset)
+    used = 0
     for e in order:
         need = int(segs[e])
         fit = np.nonzero(free >= need)[0]
         if fit.size == 0:
             raise ValueError(
-                f"batch needs more than {n_rows} rows of {n_p} segments "
+                f"batch needs more than {cap} rows of {n_p} segments "
                 f"(total segments {int(segs.sum())})")
         r = int(fit[0])
         place[e] = (r, n_p - free[r])
         free[r] -= need
+        used = max(used, r + 1)
+    if n_rows is None:
+        n_rows = used
 
     sentinel = B * U
     frame_gather = np.full((n_rows, Up), sentinel, np.int64)

@@ -207,3 +207,49 @@ def test_encoder_forward_packed_matches_dense():
         np.testing.assert_allclose(np.asarray(out.ctc_logits)[i, :l],
                                    np.asarray(ref.ctc_logits)[i, :l],
                                    atol=2e-5, rtol=2e-5, err_msg=f"ctc {i}")
+
+
+def test_train_cli_pack_plumbing():
+    """The --pack path end to end at the loss level: build_loss's joint_ctc
+    branch reconstructs the PackPlan from batch keys and the packed loss
+    equals the dense loss (deterministic)."""
+    import argparse
+    from simulst_tpu.cli.train import build_loss
+    from simulst_tpu.models import s2t_emformer as s2t
+
+    cfg = s2t.S2TEmformerConfig(
+        vocab_size=23, input_feat=80, conv_channels=16, embed_dim=16,
+        ffn_dim=32, encoder_layers=1, encoder_heads=2, decoder_layers=1,
+        decoder_heads=2, decoder_ffn_dim=32, segment_length=16,
+        left_context=32, right_context=8, max_memory=2, ctc_layer=True,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+    model = s2t.S2TEmformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    args = argparse.Namespace(loss="joint_ctc", loss_overrides={},
+                              specaugment=False)
+    fn = build_loss(args, model)
+
+    rng = np.random.RandomState(7)
+    B, T = 4, 256
+    batch = {
+        "feats": jnp.asarray(rng.randn(B, T, 80).astype(np.float32)),
+        "feat_lengths": jnp.asarray([256, 170, 131, 64], jnp.int32),
+        "prev_tokens": jnp.asarray(rng.randint(3, 23, (B, 6)), jnp.int32),
+        "target": jnp.asarray(rng.randint(3, 23, (B, 6)), jnp.int32),
+    }
+    ref_loss, _ = fn(params, batch, None)
+
+    import simulst_tpu.nn.conv as cnv
+    l4 = np.asarray(cnv.subsampler_apply(params["subsample"]
+                                         if "subsample" in params
+                                         else params["encoder"]["subsample"],
+                                         batch["feats"],
+                                         batch["feat_lengths"])[1])
+    plan = packing.pack_plan(l4, T // cfg.stride, cfg.emformer.segment,
+                             cfg.emformer.right_context)
+    pb = dict(batch)
+    for f in packing.PackPlan._fields:
+        pb[f"pack_{f}"] = jnp.asarray(getattr(plan, f))
+    packed_loss, _ = fn(params, pb, None)
+    np.testing.assert_allclose(float(packed_loss), float(ref_loss),
+                               rtol=1e-5)
