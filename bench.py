@@ -320,8 +320,8 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
         # under length-sorted bucketing (see packing.choose_row_segments)
         n_p = packing.choose_row_segments(
             l4, ecfg.segment, packing.usable_row_segments(ecfg, n0, 4 * n0))
-        plan = packing.pack_plan(l4, n_p * ecfg.segment, ecfg.segment,
-                                 ecfg.right_context)
+        plan = packing.pack_plan(l4, T // cfg.stride, ecfg.segment,
+                                 ecfg.right_context, row_segs=n_p)
         plan = packing.PackPlan(*[jnp.asarray(a) for a in plan])
     lcfg = JointCTCConfig()
 

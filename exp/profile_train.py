@@ -7,7 +7,9 @@ plain matmul/conv fusions, elementwise fusions, copies/transposes, reduces,
 and the rest.  The round-3 budget in docs/perf.md described the 27.3 ms
 step; this keeps the table honest for whatever the step costs now.
 
-Usage (TPU):  python exp/profile_train.py [B]           # default B=32
+Usage (TPU):  python exp/profile_train.py [B] [model]   # default B=32,
+model in {joint_ctc, mma} — mma profiles the full-latency-loss MMA step
+(VERDICT r5: find what the 6 monotonic cross-attentions still cost).
 """
 import os
 import sys
@@ -23,35 +25,54 @@ from simulst_tpu.config import enable_compile_cache
 N_STEPS = 10
 
 
-def build_step(B):
+def build_step(B, kind="joint_ctc"):
     jax.config.update("jax_default_prng_impl", "rbg")
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
     from simulst_tpu.train.optim import global_sumsq
 
     T, U = 1024, 64
-    cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
-                                compute_dtype="bfloat16")
-    model = s2t.S2TEmformerModel(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    feats = jnp.broadcast_to(
-        jax.random.normal(jax.random.PRNGKey(1), (1, T, 80)), (B, T, 80))
-    lengths = jnp.full((B,), T, jnp.int32)
-    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, U), 4, 4100)
-    lcfg = JointCTCConfig()
+    if kind == "mma":
+        from simulst_tpu.losses.mma_loss import MMALossConfig, mma_loss
+        from simulst_tpu.models.mma import MMAConfig, MMAModel
+        cfg = MMAConfig(vocab_size=4100, ctc_layer=False,
+                        compute_dtype="bfloat16",
+                        simul_attn_type="hard_aligned_fixed_pre_decision",
+                        fixed_pre_decision_ratio=8)
+        model = MMAModel(cfg)
+        mcfg_loss = MMALossConfig(latency_avg_weight=0.1,
+                                  latency_var_weight=0.1)
 
-    @jax.jit
-    def train_step(tc, p):
-        f = feats + tc * 1e-30
+        def compute(p, f, lengths, tokens):
+            logits, extra = model.forward(p, f, lengths, tokens,
+                                          rng=jax.random.PRNGKey(3),
+                                          deterministic=False)
+            loss, _ = mma_loss(logits, extra, tokens, lengths, mcfg_loss)
+            return loss / (B * U)
+    else:
+        cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
+                                    compute_dtype="bfloat16")
+        model = s2t.S2TEmformerModel(cfg)
+        lcfg = JointCTCConfig()
 
-        def loss_fn(p):
+        def compute(p, f, lengths, tokens):
             logits, extra = model.forward(p, f, lengths, tokens,
                                           rng=jax.random.PRNGKey(3),
                                           deterministic=False)
             loss, _ = joint_ctc_loss(logits, extra, tokens, lcfg)
             return loss / (B * U)
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(1), (1, T, 80)), (B, T, 80))
+    lengths = jnp.full((B,), T, jnp.int32)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, U), 4, 4100)
+
+    @jax.jit
+    def train_step(tc, p):
+        f = feats + tc * 1e-30
+        loss, grads = jax.value_and_grad(
+            lambda p_: compute(p_, f, lengths, tokens))(p)
         return tc + loss.astype(jnp.float32) + global_sumsq(grads) * 1e-12
 
     @jax.jit
@@ -119,8 +140,9 @@ def is_parent(name):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    kind = sys.argv[2] if len(sys.argv) > 2 else "joint_ctc"
     enable_compile_cache()
-    chain, params = build_step(B)
+    chain, params = build_step(B, kind)
     tc = jnp.zeros(())
     tc = chain(tc, params)  # compile + warm
     jax.block_until_ready(tc)

@@ -329,12 +329,14 @@ def main(argv=None):
         n0 = b["feats"].shape[1] // mcfg.stride // ecfg.segment
         n_p = packing.choose_row_segments(
             l4, ecfg.segment, packing.usable_row_segments(ecfg, n0, 4 * n0))
-        Up = n_p * ecfg.segment
-        plan = packing.pack_plan(l4, Up, ecfg.segment, ecfg.right_context)
+        U4 = b["feats"].shape[1] // mcfg.stride
+        plan = packing.pack_plan(l4, U4, ecfg.segment, ecfg.right_context,
+                                 row_segs=n_p)
         r = plan.frame_gather.shape[0]
         if r % 4:
-            plan = packing.pack_plan(l4, Up, ecfg.segment, ecfg.right_context,
-                                     n_rows=r + 4 - r % 4)
+            plan = packing.pack_plan(l4, U4, ecfg.segment,
+                                     ecfg.right_context,
+                                     n_rows=r + 4 - r % 4, row_segs=n_p)
         for f in packing.PackPlan._fields:
             b[f"pack_{f}"] = getattr(plan, f)
         return b

@@ -99,17 +99,21 @@ def usable_row_segments(ecfg, n_min: int, n_max: int):
 
 
 def pack_plan(lengths, U: int, seg: int, rc: int,
-              n_rows: Optional[int] = None) -> PackPlan:
+              n_rows: Optional[int] = None,
+              row_segs: Optional[int] = None) -> PackPlan:
     """First-fit-decreasing segment-granular bin packing of B examples with
-    post-subsample `lengths` (padded layout (B, U)) into rows of
-    n_p = U // seg segments each.  n_rows=None sizes the plan to however
-    many rows FFD needs (usually ceil(total/n_p), occasionally +1 from
-    fragmentation); a fixed n_rows (for compile-shape stability) raises if
-    the examples don't fit."""
+    post-subsample `lengths` (padded SOURCE layout (B, U)) into rows of
+    `row_segs` segments (default U // seg — same-length rows).  Rows LONGER
+    than U (row_segs > U//seg) let 2-3 examples share a row, which is where
+    packing actually wins under length-sorted bucketing (see
+    choose_row_segments).  n_rows=None sizes the plan to however many rows
+    FFD needs (usually ceil(total/n_p), occasionally +1 from fragmentation);
+    a fixed n_rows (for compile-shape stability) raises if the examples
+    don't fit."""
     lengths = np.asarray(lengths, np.int64)
     B = len(lengths)
     assert U % seg == 0, (U, seg)
-    n_p = U // seg
+    n_p = row_segs or U // seg
     Up = n_p * seg
     segs = np.ceil(lengths / seg).astype(np.int64)
     assert segs.max() <= n_p, "an example exceeds the packed row length"

@@ -253,3 +253,40 @@ def test_train_cli_pack_plumbing():
     packed_loss, _ = fn(params, pb, None)
     np.testing.assert_allclose(float(packed_loss), float(ref_loss),
                                rtol=1e-5)
+
+
+def test_packed_rows_longer_than_source():
+    """row_segs > U//seg (the production case: rows sized for 2-3 examples
+    under length-sorted bucketing): packed == dense per example, forward and
+    grads, with a group straddling example boundaries inside longer rows."""
+    cfg = _cfg(segment_group=8)
+    lengths = [30, 27, 23, 16]           # segments: 8+7+6+4 = 25
+    U = 32                                # source layout (8 segments each)
+    plan = packing.pack_plan(lengths, U, cfg.segment, cfg.right_context,
+                             row_segs=16)  # two rows of 16 segments
+    assert plan.frame_gather.shape == (2, 64)
+    params = em.emformer_init(jax.random.PRNGKey(6), cfg)
+    x = _batch(cfg, lengths, U, seed=7)
+    lens = jnp.asarray(lengths, jnp.int32)
+    ref, _ = em.emformer_forward(params, cfg, x, lens)
+    packed, rc = packing.pack_frames(x[:, :U], plan)
+
+    def packed_out(p):
+        o_p = em.emformer_forward_packed(p, cfg, packed, rc, plan.frame_eid,
+                                         plan.seg_eid)
+        return packing.unpack_frames(o_p, plan, len(lengths), U)
+
+    out = packed_out(params)
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(out)[i, :l],
+                                   np.asarray(ref)[i, :l],
+                                   atol=2e-5, rtol=2e-5, err_msg=f"ex {i}")
+    mask = (jnp.arange(U)[None, :] < lens[:, None])[:, :, None]
+    gd = jax.grad(lambda p: (jnp.where(
+        mask, em.emformer_forward(p, cfg, x, lens)[0], 0.0) ** 2).sum())(params)
+    gp = jax.grad(lambda p: (jnp.where(
+        mask, packed_out(p), 0.0) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=3e-4)
