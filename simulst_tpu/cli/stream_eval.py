@@ -78,7 +78,9 @@ def main(argv=None):
 
     utts = []
     for wp in wav_paths:
-        wav, sr = read_wav(wp)
+        # 16-bit PCM stays int16: 1/4 the upload bytes, exact conversion
+        # everywhere downstream (OnlineFbank / stage_session_wavs)
+        wav, sr = read_wav(wp, keep_int16=True)
         utts.append(wav)
 
     from simulst_tpu.stream.build import (auto_buffer_sizes, build_agent,

@@ -35,11 +35,16 @@ def strip_noise_tags(text: str) -> str:
     return " ".join(_NOISE_TAG.sub(" ", text).split())
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
+def read_wav(path: str, keep_int16: bool = False) -> Tuple[np.ndarray, int]:
+    """keep_int16=True returns 16-bit PCM sources AS int16: the streaming
+    evaluator uploads those at 1/4 the float bytes and the conversion is
+    exact either way (the fbank's 2^15 float scale is the int16 identity —
+    stream/agents.stage_session_wavs)."""
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
+        if not keep_int16:
+            data = data.astype(np.float32) / 32768.0
     elif data.dtype != np.float32:
         data = data.astype(np.float32)
     if data.ndim > 1:
