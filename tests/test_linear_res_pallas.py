@@ -183,7 +183,8 @@ def test_emformer_grouped_fused_epilogue_equals_plain(monkeypatch):
     monkeypatch.setattr(em, "attn_pallas_supported", lambda g, d: True)
     monkeypatch.setattr(
         em, "emformer_grouped_attention",
-        lambda q, k, v, l, s, geom, rate: orig(q, k, v, l, s, geom, rate, True))
+        lambda q, k, v, l, s, eid, geom, rate: orig(q, k, v, l, s, eid,
+                                                    geom, rate, True))
     monkeypatch.setattr(em, "linear_res_supported", lambda *a: True)
     monkeypatch.setattr(
         em, "fused_linear_drop_res",
