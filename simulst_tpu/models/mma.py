@@ -165,8 +165,12 @@ def _upsample_p_choose(p_choose_pooled, r: int, src_len_static: int):
     return up
 
 
-def mma_p_choose_train(p, cfg: MMAConfig, query, key, key_padding_mask, rng):
-    """Training p_choose (B, H, Tq, S) — pooled if fixed_pre_decision."""
+def mma_p_choose_train(p, cfg: MMAConfig, query, key, key_padding_mask, rng,
+                       return_pooled: bool = False):
+    """Training p_choose (B, H, Tq, S) — pooled if fixed_pre_decision.
+    return_pooled=True skips the insert-zeros upsampling and returns the
+    (B, H, Tq, ceil(S/r)) pooled probabilities (see mma_attention_forward's
+    pooled-resolution alignment)."""
     b, tq = query.shape[0], query.shape[1]
     s = key.shape[1]
     h = cfg.decoder_heads
@@ -187,7 +191,7 @@ def mma_p_choose_train(p, cfg: MMAConfig, query, key, key_padding_mask, rng):
         energy = _energy(p, cfg, query, key_p, "monotonic", kpm_p, add_bias=True)
         pc = mono.learnable_p_choose(energy, cfg.noise_mean,
                                      math.sqrt(cfg.noise_var), rng)
-    if cfg.pooled:
+    if cfg.pooled and not return_pooled:
         pc = _upsample_p_choose(pc, cfg.fixed_pre_decision_ratio, s)
     return pc
 
@@ -203,13 +207,43 @@ def mma_attention_forward(p, cfg: MMAConfig, query, key, value,
     b, tq, d = query.shape
     s = key.shape[1]
     h = cfg.decoder_heads
-    pc = mma_p_choose_train(p, cfg, query, key, key_padding_mask, rng)
-
-    pc_flat = pc.reshape(b * h, tq, s)
     kpm_flat = (jnp.repeat(key_padding_mask, h, axis=0)
                 if key_padding_mask is not None else None)
-    alpha = mono.expected_alignment_from_p_choose(pc_flat, kpm_flat,
-                                                  eps=cfg.attention_eps)
+    if cfg.pooled:
+        # POOLED-RESOLUTION alignment (round 5): the upsampled p_choose is
+        # zero at all but every r-th frame, and zeros ride the recursion as
+        # exact identities (x*1 in cumprods, +0 in cumsums), so running the
+        # DP at ceil(S/r) and insert-zeros-upsampling alpha is equivalent —
+        # in fact CLOSER to the reference, whose safe_cumprod CLAMPS
+        # (log 1 = 0 exactly) while our exclusive_cumprod adds eps inside
+        # the log, which at full resolution accrues a spurious
+        # exp(~(r-1)/r * S * eps) factor across the interleaved zeros.
+        # 8x smaller DP panels: profiling showed the full-res path cost
+        # ~2.5 ms/step in kernel panels, (BH,U,S) copies and relayouts.
+        r = cfg.fixed_pre_decision_ratio
+        pc_pool = mma_p_choose_train(p, cfg, query, key, key_padding_mask,
+                                     rng, return_pooled=True)
+        n_p = pc_pool.shape[-1]
+        land_kpm = None
+        if key_padding_mask is not None:
+            # the frame each pooled value lands on (insert_zeros puts block
+            # k at frame (k+1)r-1; the truncate branch pins the final block
+            # at s-1) — masking pc at masked LANDING frames reproduces the
+            # full-resolution key_padding_mask zeroing exactly
+            src_len = (~key_padding_mask).sum(-1)
+            land = jnp.minimum(jnp.arange(1, n_p + 1) * r - 1, s - 1)
+            land_kpm = land[None, :] >= src_len[:, None]
+        alpha_p = mono.expected_alignment_from_p_choose(
+            pc_pool.reshape(b * h, tq, n_p),
+            jnp.repeat(land_kpm, h, axis=0) if land_kpm is not None else None,
+            eps=cfg.attention_eps)
+        alpha = _upsample_p_choose(alpha_p.reshape(b, h, tq, n_p), r, s
+                                   ).reshape(b * h, tq, s)
+        pc = _upsample_p_choose(pc_pool, r, s)
+    else:
+        pc = mma_p_choose_train(p, cfg, query, key, key_padding_mask, rng)
+        alpha = mono.expected_alignment_from_p_choose(
+            pc.reshape(b * h, tq, s), kpm_flat, eps=cfg.attention_eps)
     if cfg.mass_preservation:
         alpha = mono.mass_preservation(alpha, kpm_flat)
 

@@ -152,3 +152,46 @@ def test_gate_shapes():
                     assert vmem <= 10 * 2 ** 20
     finally:
         jax.default_backend = orig
+
+
+def test_pooled_resolution_alignment_equals_full_resolution():
+    """models/mma.py pooled branch (round 5): running the expected-alignment
+    DP at ceil(S/r) pooled resolution and insert-zeros-upsampling alpha must
+    match the full-resolution DP on the upsampled p_choose — interleaved
+    zeros ride the recursion as exact identities; only the eps-inside-log of
+    exclusive_cumprod accrues a tiny extra factor at full resolution (which
+    is why the tolerance is 1e-5, not exact).  Covers padded examples whose
+    final pooled block lands beyond src_len."""
+    import numpy as np
+    import jax.numpy as jnp
+    from simulst_tpu.models import mma as jmma
+    from simulst_tpu.ops import monotonic as mono
+
+    rng = np.random.RandomState(0)
+    B, H, U, S, r = 2, 2, 5, 29, 4          # ragged: n_p*r = 32 > S
+    n_p = -(-S // r)
+    pc_pool = jnp.asarray(rng.rand(B, H, U, n_p).astype(np.float32)) * 0.9
+    src_len = jnp.asarray([29, 22])
+    kpm = jnp.arange(S)[None, :] >= src_len[:, None]
+
+    # full-resolution path (the pre-round-5 formulation)
+    pc_full = jmma._upsample_p_choose(pc_pool, r, S)
+    kpm_flat = jnp.repeat(kpm, H, axis=0)
+    a_full = mono.expected_alignment_from_p_choose(
+        pc_full.reshape(B * H, U, S), kpm_flat, eps=1e-6)
+
+    # pooled path (what mma_attention_forward now does)
+    land = jnp.minimum(jnp.arange(1, n_p + 1) * r - 1, S - 1)
+    land_kpm = land[None, :] >= src_len[:, None]
+    a_pool = mono.expected_alignment_from_p_choose(
+        pc_pool.reshape(B * H, U, n_p), jnp.repeat(land_kpm, H, axis=0),
+        eps=1e-6)
+    a_up = jmma._upsample_p_choose(a_pool.reshape(B, H, U, n_p), r, S
+                                   ).reshape(B * H, U, S)
+
+    np.testing.assert_allclose(np.asarray(a_up), np.asarray(a_full),
+                               atol=1e-5, rtol=1e-4)
+    # nonzeros only at landing frames
+    mask = np.zeros(S, bool)
+    mask[np.asarray(land)] = True
+    assert (np.asarray(a_up)[:, :, ~mask] == 0).all()
