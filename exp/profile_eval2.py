@@ -48,7 +48,14 @@ def main(n_chunks=16, n_iter=8):
         # compile
         agent.new_batched_session(B).process_session_wavs(wavs)
 
-        t = {k: 0.0 for k in ("stage", "featurize", "runner", "tokens")}
+        # (round 5: featurize + runner + drain are ONE dispatch now — the
+        # session executor; the split is stage | execute | unpack)
+        from simulst_tpu.ops.fbank import num_frames
+        c0 = num_frames(n_first)
+        cs = num_frames(n_first + n_steady) - c0
+        mx = num_frames(n_samp) - num_frames(
+            n_first + (n_chunks - 2) * n_steady)
+        t = {k: 0.0 for k in ("stage", "execute", "tokens")}
         for it in range(n_iter + 1):
             m = it > 0
             sess = agent.new_batched_session(B)
@@ -56,31 +63,22 @@ def main(n_chunks=16, n_iter=8):
             st = stage_session_wavs(agent, wavs)
             jax.block_until_ready(st.wav_mat)
             t1 = time.perf_counter()
-            from simulst_tpu.ops.fbank import num_frames
-            c0 = num_frames(n_first)
-            cs = num_frames(n_first + n_steady) - c0
-            mx = num_frames(n_samp) - num_frames(
-                n_first + (n_chunks - 2) * n_steady)
-            first, mid, last = agent._batch_featurize(
-                st.wav_mat, c0=c0, cs=cs, n_mid=n_chunks - 2, mx=mx)
-            jax.block_until_ready(last)
-            t2 = time.perf_counter()
             n_before = np.asarray(sess.state.n_tokens)
-            sess.state, counts = agent._scan_runner(sess.state, first, mid,
-                                                    last, st.n_valid)
+            sess.state, counts = agent._session_exec(
+                sess.state, st.wav_mat, st.n_valid, c0=c0, cs=cs,
+                n_mid=n_chunks - 2, mx=mx)
             counts_h = np.asarray(counts)
             toks = np.asarray(sess.state.tokens)
-            t3 = time.perf_counter()
+            t2 = time.perf_counter()
             ends = n_before[None, :] + np.cumsum(counts_h, axis=0)
             starts = ends - counts_h
             out = [[toks[i, starts[k, i]:ends[k, i]].tolist()
                     for k in range(n_chunks)] for i in range(B)]
-            t4 = time.perf_counter()
+            t3 = time.perf_counter()
             if m:
                 t["stage"] += t1 - t0
-                t["featurize"] += t2 - t1
-                t["runner"] += t3 - t2
-                t["tokens"] += t4 - t3
+                t["execute"] += t2 - t1
+                t["tokens"] += t3 - t2
         total = sum(t.values())
         ups = B / (total / n_iter)
         print(f"B={B}: {ups:6.1f} utt/s ({ups * audio_s:7.0f}x realtime)")
