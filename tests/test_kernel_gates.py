@@ -163,3 +163,38 @@ def test_row_gates_alignment(tpu_backend):
     xp_huge = jax.ShapeDtypeStruct((64, 8192 + k - 1, EMBED), np.float32)
     assert convpos_wgrad_supported(xp_ok, EMBED, 16)
     assert not convpos_wgrad_supported(xp_huge, EMBED, 16)
+
+
+def test_packed_eid_mask_geometry_consistency(tpu_backend):
+    """Sequence-packing (round 5): for every packable row length the packer
+    may choose, the XLA-side kernel mask layout (make_packed_eids via
+    kernel_ctx_row_map) must agree with the kernel's static geometry —
+    shape (R, ng, nq, ctx) — and the ctx row map must stay inside the
+    padded key tensor.  Guards the aligned-window bookkeeping that the eid
+    gate shares with the kernel's dynamic slices (a mismatch would read
+    the wrong key rows' ids on hardware only)."""
+    from simulst_tpu.nn.emformer import EmformerConfig, _choose_group
+    from simulst_tpu.ops.emformer_attn_pallas import (kernel_ctx_row_map,
+                                                      padded_tk)
+    from simulst_tpu.train import packing
+
+    ecfg = EmformerConfig(input_dim=EMBED, num_heads=HEADS, ffn_dim=2048,
+                          num_layers=12, segment=16, left_context=32,
+                          right_context=8, max_memory=5)
+    for n_p in packing.usable_row_segments(ecfg, 8, 64):
+        U = n_p * ecfg.segment
+        G = _choose_group(n_p, U, ecfg)
+        geom = AttnGeom(U=U, seg=ecfg.segment, lc=ecfg.left_context,
+                        rc=ecfg.right_context, max_mem=ecfg.max_memory,
+                        G=G, num_heads=HEADS)
+        if not attn_pallas_supported(geom, EMBED):
+            continue
+        rows = kernel_ctx_row_map(geom)
+        assert rows.shape == (geom.ng, geom.ctx)
+        assert rows.min() >= 0 and rows.max() < padded_tk(geom), n_p
+        # real key rows appear where the kernel's windows cover them: every
+        # rc block and every utterance frame of each group's windows
+        mem_len = geom.n - 1
+        for g in range(geom.ng):
+            lo = mem_len + g * geom.G * geom.rc
+            assert set(range(lo, lo + geom.G * geom.rc)) <= set(rows[g]), n_p
