@@ -270,7 +270,7 @@ def _peak_flops(dtype) -> float:
 
 
 def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
-                     packed=False):
+                     packed=False, bucket_step=None):
     """Jitted fwd+bwd at the Bx1024 geometry (rbg dropout keys, the train
     CLI default).  B=32 is the headline (comparable across rounds); the
     B=64 extra shows throughput with fixed costs amortized.
@@ -281,6 +281,11 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
     the honest throughput number for real data, vs the full-length batch
     that flatters MFU (VERDICT r3 weak #4).
 
+    bucket_step (implies padded) narrows the frame spread to what a
+    BatcherConfig.frame_buckets ladder with that step yields — lengths in
+    (T - step, T] — measuring the finer-bucketing lever from docs/perf.md
+    (target spread stays 0.6U..U: bucketing is on frames only).
+
     packed=True (implies padded) additionally routes the Emformer stack
     through SEQUENCE-PACKED rows (train/packing.py): the same bucketed
     batch runs over ceil(total_segments / row_segments) rows instead of B,
@@ -290,7 +295,7 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
     from simulst_tpu.losses.joint_ctc import JointCTCConfig, joint_ctc_loss
     from simulst_tpu.models import s2t_emformer as s2t
 
-    padded = padded or packed
+    padded = padded or packed or bucket_step is not None
     T, U = 1024, 64
     cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
                                 compute_dtype=dtype_name)
@@ -301,7 +306,8 @@ def bench_train_step(dtype_name="bfloat16", B=32, padded=False,
     lengths = jnp.full((B,), T, jnp.int32)
     tokens = jax.random.randint(jax.random.PRNGKey(2), (B, U), 4, 4100)
     if padded:
-        lens_np = np.linspace(0.7 * T, T, B).astype(np.int32)
+        lo = T - bucket_step + 1 if bucket_step is not None else 0.7 * T
+        lens_np = np.linspace(lo, T, B).astype(np.int32)
         lengths = jnp.asarray(lens_np)
         feats = jnp.where(jnp.arange(T)[None, :, None] < lengths[:, None, None],
                           feats, 0.0)
@@ -552,6 +558,12 @@ def main():
     extra["train_packed_step_latency_ms"] = round(pk_ms, 3)
     extra["train_packed_eff_frames_per_sec"] = round(pk_fps)
     extra["train_packed_eff_mfu"] = round(pk_mfu, 4)
+    # the finer-bucketing lever (docs/perf.md): same step, narrower
+    # within-bucket spread (frame_buckets step 128 -> lengths 897..1024)
+    fb_ms, fb_fps, fb_mfu = bench_train_step(bucket_step=128)
+    extra["train_fine_bucket_step_latency_ms"] = round(fb_ms, 3)
+    extra["train_fine_bucket_eff_frames_per_sec"] = round(fb_fps)
+    extra["train_fine_bucket_eff_mfu"] = round(fb_mfu, 4)
     print(json.dumps({"metric": "train_step_latency",
                       "value": round(train_ms, 3), "unit": "ms",
                       "vs_baseline": round(fps),
