@@ -546,6 +546,9 @@ def make_session_executor(step_fn, featurize_fn):
         return rebuild(list(dyn), fin), counts
 
     return run
+
+
+def make_scanned_runner(step_fn):
     """Wrap a fused step (from make_*_fused_step) into
     run(state, first, mid, last, last_valid) -> (state, counts):
 
@@ -553,6 +556,11 @@ def make_session_executor(step_fn, featurize_fn):
     last: (B, cl, F) with per-example `last_valid` feature counts (the
     finish call).  Returns the final state and per-chunk emitted-token
     counts (N + 2, B).
+
+    This is the 3-dispatch, host-drained runner behind
+    FusedBatchSession.process_session (pre-extracted FEATURES input);
+    process_session_wavs uses the stronger single-dispatch
+    make_session_executor above.
     """
     scan_cache = {}
     # thread the step's weights through the outer jit as a RUNTIME ARGUMENT

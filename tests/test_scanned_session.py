@@ -123,3 +123,43 @@ def test_int16_staged_matches_float_unstaged():
     out = agent.new_batched_session(3).process_session_wavs(i16,
                                                             staged=staged)
     assert out == ref
+
+
+def test_process_session_features_matches_chunked():
+    """The FEATURES-input scanned path (process_session -> fused.
+    make_scanned_runner) must match the per-chunk loop token-for-token.
+    Regression: the round-5 single-dispatch refactor briefly left
+    make_scanned_runner's body unreachable inside make_session_executor,
+    breaking this path with an ImportError."""
+    from simulst_tpu.stream.agents import _session_schedule
+
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = CIFAgent(model, params, v, acfg, fused=True)
+
+    rng = np.random.RandomState(7)
+    wavs = [(rng.randn(int(16000 * s)) * 0.05).astype(np.float32)
+            for s in (1.0, 0.9, 1.0)]
+    n_first, n_steady, n_chunks, _ = _session_schedule(agent.cfg, wavs)
+    assert n_chunks >= 3, "want a steady-scan segment in this test"
+
+    def chunks_of(w):
+        cuts = [0, n_first] + [min(n_first + k * n_steady, len(w))
+                               for k in range(1, n_chunks)]
+        return [w[a:b] for a, b in zip(cuts, cuts[1:])]
+
+    chunk_lists = [chunks_of(w) for w in wavs]
+
+    ref_sess = agent.new_batched_session(3)
+    ref = []
+    for k in range(n_chunks):
+        ref.append(ref_sess.process_chunk_batch(
+            [c[k] for c in chunk_lists], finished=(k == n_chunks - 1)))
+    # per-example, per-chunk
+    ref = [[ref[k][i] for k in range(n_chunks)] for i in range(3)]
+
+    out = agent.new_batched_session(3).process_session(chunk_lists)
+    assert out == ref
