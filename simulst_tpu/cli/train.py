@@ -317,19 +317,29 @@ def main(argv=None):
         assert mesh.shape["data"] == 1, \
             "--pack with data parallelism needs per-shard plans (not wired)"
 
+    pack_np_by_bucket = {}
+
     def attach_pack_plan(b):
         """Host-side pack plan for this batch (train/packing.py): segments
         of all examples bin-packed into rows; row count rounded up to a
-        multiple of 4 so the jitted step compiles only per (bucket, R/4)."""
+        multiple of 4 so the jitted step compiles only per (bucket, R/4).
+        The row length n_p is FIXED per frame bucket by its first batch —
+        re-choosing it per batch would change every packed array's shape
+        (Up = n_p*seg) and silently retrace the train step whenever FFD
+        preferred a different row length for a batch's particular length
+        mix."""
         from simulst_tpu.nn.conv import subsampler_out_lengths
         from simulst_tpu.train import packing
         l4 = np.asarray(subsampler_out_lengths(params["encoder"]["subsample"],
                                                b["feat_lengths"]))
         ecfg = mcfg.emformer
         n0 = b["feats"].shape[1] // mcfg.stride // ecfg.segment
-        n_p = packing.choose_row_segments(
-            l4, ecfg.segment, packing.usable_row_segments(ecfg, n0, 4 * n0))
         U4 = b["feats"].shape[1] // mcfg.stride
+        n_p = pack_np_by_bucket.get(U4)
+        if n_p is None:
+            n_p = pack_np_by_bucket[U4] = packing.choose_row_segments(
+                l4, ecfg.segment, packing.usable_row_segments(ecfg, n0,
+                                                              4 * n0))
         plan = packing.pack_plan(l4, U4, ecfg.segment, ecfg.right_context,
                                  row_segs=n_p)
         r = plan.frame_gather.shape[0]

@@ -250,6 +250,12 @@ def stage_session_wavs(agent, wavs):
           else np.float32)
     wav_mat = np.zeros((len(wavs), sched), dt)
     for i, w in enumerate(wavs):
+        w = np.asarray(w)
+        if dt == np.float32 and w.dtype == np.int16:
+            # mixed-dtype bucket: int16 members must drop to the [-1, 1]
+            # float convention here (the device featurize rescales float
+            # input by 2^15; raw int16 values would be scaled twice)
+            w = w.astype(np.float32) / 32768.0
         wav_mat[i, :len(w)] = np.asarray(w, dt)
     last_counts = np.array(
         [num_frames(min(sched, len(w)))
@@ -417,9 +423,7 @@ class FusedBatchSession:
 
     def _run_scanned(self, first, mid, last, n_valid, n_chunks):
         """Shared tail: run the cached scanned runner and unpack per-example,
-        per-chunk newly-emitted token lists (vectorized: one cumsum + numpy
-        slice per cell instead of a python int() per token — the per-chunk
-        unpack was ~13% of scanned-eval wall time, VERDICT r4)."""
+        per-chunk newly-emitted token lists."""
         from simulst_tpu.stream.fused import make_scanned_runner
         runner = getattr(self.agent, "_scan_runner", None)
         if runner is None:
@@ -427,6 +431,13 @@ class FusedBatchSession:
             self.agent._scan_runner = runner
         n_before = np.asarray(self.state.n_tokens)
         self.state, counts = runner(self.state, first, mid, last, n_valid)
+        return self._unpack_counts(n_before, counts, n_chunks)
+
+    def _unpack_counts(self, n_before, counts, n_chunks):
+        """Per-example, per-chunk newly-emitted token lists from the
+        (n_chunks, B) emitted-count matrix (vectorized: one cumsum + numpy
+        slice per cell instead of a python int() per token — the per-chunk
+        unpack was ~13% of scanned-eval wall time, VERDICT r4)."""
         counts = np.asarray(counts)                          # (n_chunks, B)
         toks = np.asarray(self.state.tokens)
         ends = n_before[None, :] + np.cumsum(counts, axis=0)
@@ -538,12 +549,7 @@ class FusedBatchSession:
         self.state, counts = exec_run(self.state, wav_mat, n_valid,
                                       c0=c0, cs=cs, n_mid=n_chunks - 2,
                                       mx=mx_last)
-        counts = np.asarray(counts)                          # (n_chunks, B)
-        toks = np.asarray(self.state.tokens)
-        ends = n_before[None, :] + np.cumsum(counts, axis=0)
-        starts = ends - counts
-        return [[toks[i, starts[k, i]:ends[k, i]].tolist()
-                 for k in range(n_chunks)] for i in range(self.batch)]
+        return self._unpack_counts(n_before, counts, n_chunks)
 
 
 class MMAAgent(SpeechAgent):

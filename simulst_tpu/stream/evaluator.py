@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -262,17 +263,18 @@ def _chunk_count(n_samples: int, first: int, steady: int) -> int:
 
 
 def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
-                     scan: bool = False, staged=None):
+                     scan: bool = False, staged=None, stage_ms: float = 0.0):
     """Run len(wavs) same-chunk-count utterances lock-step through one
     batched fused session.  Returns per-example (words, delays, elapsed).
 
-    scan=True runs the whole session in three dispatches (first chunk +
-    lax.scan over steady chunks + finish; FusedBatchSession.process_session)
-    — identical tokens/delays, much higher throughput.  Because all chunks
-    compute inside one call, the computation-aware (_CA) elapsed time
-    attributes the WHOLE session's wall clock to every chunk: _CA metrics
-    are then an upper bound (conservative), while the throughput gain is
-    real."""
+    scan=True runs the whole session as one dispatch per bucket
+    (FusedBatchSession.process_session_wavs) — identical tokens/delays,
+    much higher throughput.  Because all chunks compute inside one call,
+    the computation-aware (_CA) elapsed time attributes the WHOLE
+    session's wall clock to every chunk: _CA metrics are then an upper
+    bound (conservative), while the throughput gain is real.  stage_ms
+    carries the group's ahead-of-time wav staging wall time so pre-staged
+    uploads stay inside the _CA account."""
     from simulst_tpu.stream.agents import chunk_geometry_ms
     first_ms, steady_ms = chunk_geometry_ms(agent.cfg)
     n_first = int(first_ms / 1000.0 * SAMPLE_RATE)
@@ -282,7 +284,7 @@ def _run_fused_batch(agent, wavs: List[np.ndarray], n_chunks: int,
     session = agent.new_batched_session(B)
     mergers = [_WordMerger(agent.vocab.symbols) for _ in range(B)]
     consumed = [0] * B
-    t0 = time.perf_counter()
+    t0 = time.perf_counter() - stage_ms / 1000.0
 
     if scan:
         consumed_at = []
@@ -352,20 +354,37 @@ def evaluate_batched(agent, utterances, references: Optional[List[str]] = None,
               for k, idxs in sorted(buckets.items())
               for lo in range(0, len(idxs), batch_size)]
     stages = [None] * len(groups)
+    stage_ms = [0.0] * len(groups)
     if scan:
         # stage every bucket's sample matrix BEFORE the first scanned call:
         # uploads then ride the fast transfer path (the scan executable
         # permanently degrades later h2d on the tunneled backend — see
         # agents.stage_session_wavs / docs/perf.md) and pipeline ahead of
-        # compute (jnp.asarray is async)
+        # compute (jnp.asarray is async).  Staging is capped at a device
+        # byte budget — a very large eval set would otherwise pin its whole
+        # padded sample matrix in HBM at once; groups past the budget stage
+        # lazily inside process_session_wavs (slower transfers, same
+        # tokens).  Each group's staging wall time is carried into its _CA
+        # elapsed account via stage_ms.
         from simulst_tpu.stream.agents import stage_session_wavs
-        stages = [stage_session_wavs(agent, [wavs[i] for i in group])
-                  for _, group in groups]
+        budget = int(os.environ.get("SIMULST_STAGE_BUDGET_MB", "512")) << 20
+        total = 0
+        for gi, (_, group) in enumerate(groups):
+            if total >= budget:
+                break
+            ts = time.perf_counter()
+            st = stage_session_wavs(agent, [wavs[i] for i in group])
+            stage_ms[gi] = (time.perf_counter() - ts) * 1000.0
+            stages[gi] = st
+            if st is not None:
+                total += st.wav_mat.size * st.wav_mat.dtype.itemsize
 
     instances: List[Optional[Instance]] = [None] * len(wavs)
-    for (k, group), staged in zip(groups, stages):
+    for gi, (k, group) in enumerate(groups):
         results = _run_fused_batch(agent, [wavs[i] for i in group], k,
-                                   scan=scan, staged=staged)
+                                   scan=scan, staged=stages[gi],
+                                   stage_ms=stage_ms[gi])
+        stages[gi] = None  # release the staged upload once the group ran
         for i, (words, delays, elapsed, trunc) in zip(group, results):
             instances[i] = Instance(
                 index=i, prediction=" ".join(words),

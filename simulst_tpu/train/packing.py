@@ -154,16 +154,21 @@ def pack_plan(lengths, U: int, seg: int, rc: int,
     # right-context blocks: segment s of a row reads frames
     # [(s+1)*seg, (s+1)*seg + rc) of the SAME example, else zero rows —
     # matching the padded batch, where those positions hold zero content
-    # (beyond-length zeroing / the final rc zero-pad)
+    # (beyond-length zeroing / the final rc zero-pad).  Ownership is checked
+    # PER FRAME (not per neighbor segment): with rc > seg the window spans
+    # segment s+2 and beyond, and at a row end it would overrun into the
+    # next row — both must fall back to the sentinel zero row exactly where
+    # the padded batch reads zero content
     rc_gather = np.full((n_rows, n_p * rc), n_rows * Up, np.int64)
     for r in range(n_rows):
         for s in range(n_p):
             if seg_eid[r, s] < 0:
                 continue
-            nxt = (s + 1) * seg
-            if s + 1 < n_p and seg_eid[r, s + 1] == seg_eid[r, s]:
-                rc_gather[r, s * rc: (s + 1) * rc] = \
-                    r * Up + nxt + np.arange(rc)
+            for i in range(rc):
+                j = (s + 1) * seg + i
+                owner = j // seg
+                if owner < n_p and seg_eid[r, owner] == seg_eid[r, s]:
+                    rc_gather[r, s * rc + i] = r * Up + j
     return PackPlan(frame_gather=frame_gather.astype(np.int32),
                     frame_eid=frame_eid.astype(np.int32),
                     seg_eid=seg_eid.astype(np.int32),

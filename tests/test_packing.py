@@ -137,6 +137,15 @@ def test_packed_matches_dense_grouped_path():
     _compare_packed_dense(cfg, [64, 34, 23, 12], U=64, n_rows=3, grads=True)
 
 
+def test_packed_matches_dense_rc_gt_seg():
+    """rc > seg: the rc window spans MORE than the neighbor segment (and can
+    overrun a row end), so per-frame ownership in pack_plan's rc_gather is
+    load-bearing — a per-neighbor-segment check would leak the next
+    example's frames into the rc block (round-5 review finding)."""
+    cfg = _cfg(segment=4, right_context=6, left_context=8)
+    _compare_packed_dense(cfg, [16, 13, 7, 4], U=16, n_rows=3, grads=True)
+
+
 def test_packed_kernel_interpret_matches_xla(monkeypatch):
     """The Pallas kernel's eid-mask path (interpret mode on CPU) must equal
     the packed XLA fallback, forward and gradients."""

@@ -163,3 +163,26 @@ def test_process_session_features_matches_chunked():
 
     out = agent.new_batched_session(3).process_session(chunk_lists)
     assert out == ref
+
+
+def test_mixed_dtype_bucket_matches_float():
+    """A lock-step bucket mixing int16 PCM and float32 wavs falls back to a
+    float32 sample matrix; the int16 members must be rescaled to [-1, 1]
+    there (the device featurize multiplies FLOAT input by 2^15 — raw int16
+    values would be scaled twice; round-5 review finding)."""
+    v = _vocab()
+    cfg = CIFConfig(**small_kwargs(v))
+    model = CIFModel(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    acfg = AgentConfig(max_tgt_len=24, max_src_frames=256)
+    agent = CIFAgent(model, params, v, acfg, fused=True)
+
+    rng = np.random.RandomState(5)
+    i16 = [(rng.randn(int(16000 * s)) * 1500).astype(np.int16)
+           for s in (1.0, 0.95, 1.0)]
+    f32 = [w.astype(np.float32) / (2 ** 15) for w in i16]
+    mixed = [i16[0], f32[1], i16[2]]
+
+    ref = agent.new_batched_session(3).process_session_wavs(f32)
+    out = agent.new_batched_session(3).process_session_wavs(mixed)
+    assert out == ref
