@@ -31,6 +31,16 @@ class BatcherConfig:
     shuffle: bool = True
     seed: int = 1
     batch_multiple: int = 8          # pad batch size for even device sharding
+    # secondary sort by target length WITHIN each frame-bucket group: every
+    # example in a group pads to the same frame bucket no matter the order,
+    # so reordering there leaves frame slots invariant while making each
+    # batch's token bucket tight (targets otherwise spread ~0.6U..U per
+    # batch because sorting is by frames only — the measured residual of
+    # the padding gap, docs/perf.md "Sequence packing").  Measured on a
+    # MuST-C-shaped manifest (exp/probe_tgt_sort.py): token fill
+    # 0.60 -> 0.71, mean token bucket 68 -> 57, frame fill 0.72 -> 0.74
+    # (batch-boundary luck; the frame SLOTS per group are order-invariant).
+    tgt_sort: bool = True
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
@@ -101,6 +111,14 @@ def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
     order = np.argsort([int(r["n_frames"]) for r in dataset.rows])
     if num_shards > 1:
         order = order[shard_id::num_shards]
+    if cfg.tgt_sort and len(order):
+        # character length is a monotone-enough proxy for SPM token count;
+        # lexsort is stable, so equal-length targets keep the frame order
+        tlen = np.asarray([len(dataset.rows[i].get(dataset.target_field, ""))
+                           for i in order])
+        fbuck = np.asarray([_bucket(int(dataset.rows[i]["n_frames"]),
+                                    cfg.frame_buckets) for i in order])
+        order = order[np.lexsort((tlen, fbuck))]
     if cfg.shuffle:
         rng = np.random.RandomState(cfg.seed + epoch)
         # shuffle within length-sorted blocks to keep buckets tight

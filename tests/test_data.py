@@ -62,6 +62,44 @@ def test_batcher_static_buckets(tmp_path):
     assert total == 5
 
 
+def test_batcher_tgt_sort_tightens_token_buckets(tmp_path):
+    """tgt_sort re-sorts by target length inside each frame-bucket group:
+    the example multiset and total frame slots stay intact while total
+    token slots shrink on a manifest whose target lengths vary independent
+    of frames (the padding-gap residual, docs/perf.md)."""
+    rng = np.random.RandomState(0)
+    n = 64
+    frames = rng.randint(40, 250, n)
+    feats = {f"u{i}": np.zeros((int(frames[i]), 4), np.float32)
+             for i in range(n)}
+    zp = str(tmp_path / "f.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    texts = [" ".join(["ab"] * int(rng.randint(1, 12))) for _ in range(n)]
+    rows = [{"id": f"u{i}", "audio": specs[f"u{i}"],
+             "n_frames": str(int(frames[i])), "src_text": texts[i],
+             "tgt_text": texts[i], "speaker": "s"} for i in range(n)]
+    v = Vocabulary.build(texts, vocab_size=16)
+
+    def run(tgt_sort):
+        cfg = BatcherConfig(max_tokens=2000, cmvn="none", shuffle=True,
+                            frame_buckets=(64, 128, 256),
+                            token_buckets=(4, 8, 12, 16, 24, 32),
+                            tgt_sort=tgt_sort, batch_multiple=2)
+        ds = SpeechDataset(rows, v, cfg)
+        ids, f_slots, t_slots = [], 0, 0
+        for b in make_batches(ds, num_shards=1, shard_id=0):
+            ids += b["ids"]
+            f_slots += b["feats"].shape[0] * b["feats"].shape[1]
+            t_slots += b["target"].shape[0] * b["target"].shape[1]
+        return sorted(ids), f_slots, t_slots
+
+    ids0, f0, t0 = run(False)
+    ids1, f1, t1 = run(True)
+    assert ids0 == ids1 == sorted(f"u{i}" for i in range(n))
+    assert t1 < t0          # tighter token buckets
+    assert f1 <= f0 * 1.05  # frame slots essentially unchanged
+
+
 def test_wer_and_bleu():
     refs = ["the cat sat on the mat", "hello world"]
     assert wer(refs, refs) == 0.0
