@@ -443,6 +443,69 @@ def bench_variant_train_step(kind, dtype_name="bfloat16", B=32):
     return dt, B * T / (dt / 1000.0)
 
 
+def bench_batcher_eff(headline_mfu, dtype_name="bfloat16"):
+    """Whole-epoch effective MFU under the PRODUCTION batcher.
+
+    The synthetic padded lines guess a within-batch length spread; this one
+    measures it: run `make_batches` (production defaults — fine frame/token
+    ladders + tgt_sort) over a MuST-C-shaped manifest
+    (data/synthetic.mustc_like_rows) and accumulate per batch the SLOT
+    FLOPs (the padded shapes the device actually computes, batch-padding
+    rows included) and the USEFUL FLOPs (per-example exact: source terms by
+    each t_i, target-linear by u_i, decoder self-attn by u_i^2, cross-attn
+    by t_i*u_i).  Effective MFU = headline device MFU x useful/slot —
+    assuming per-bucket device MFU matches the headline's, which the
+    fine-bucket line supports (step time unchanged at lengths 897..1024).
+
+    Returns (eff_mfu, eff_fps, fills) for tgt_sort on and off, so the
+    target-sorting lever stays measured every round."""
+    import tempfile
+
+    import numpy as np
+
+    from simulst_tpu.data.dataset import (BatcherConfig, SpeechDataset,
+                                          make_batches)
+    from simulst_tpu.data.synthetic import mustc_like_rows
+    from simulst_tpu.data.vocab import PAD, Vocabulary
+    from simulst_tpu.models import s2t_emformer as s2t
+
+    cfg = s2t.S2TEmformerConfig(vocab_size=4100, ctc_layer=True,
+                                compute_dtype=dtype_name)
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        rows = mustc_like_rows(tmpdir=td)
+        vocab = Vocabulary.build([r["tgt_text"] for r in rows[:400]],
+                                 vocab_size=1000)
+        for tgt_sort in (True, False):
+            bcfg = BatcherConfig(cmvn="none", tgt_sort=tgt_sort)
+            ds = SpeechDataset(rows, vocab, bcfg)
+            slot = useful = 0.0
+            true_frames = f_real = f_slot = t_real = t_slot = 0
+            for b in make_batches(ds, bcfg, num_shards=1, shard_id=0):
+                Bp, Tb = b["feats"].shape[:2]
+                Lb = b["target"].shape[1]
+                t_i = np.asarray(b["feat_lengths"], np.float64)
+                u_i = (b["target"] != PAD).sum(1).astype(np.float64)
+                f_src, f_tgt, f_sq, f_x = _train_matmul_flops(
+                    cfg, Bp, Tb, Lb, split=True)
+                slot += f_src + f_tgt + f_sq + f_x
+                useful += (f_src * t_i.sum() / (Bp * Tb)
+                           + f_tgt * u_i.sum() / (Bp * Lb)
+                           + f_sq * (u_i ** 2).sum() / (Bp * Lb ** 2)
+                           + f_x * (t_i * u_i).sum() / (Bp * Tb * Lb))
+                true_frames += int(t_i.sum())
+                f_real += int(t_i.sum()); f_slot += Bp * Tb
+                t_real += int(u_i.sum()); t_slot += Bp * Lb
+            eff = useful / slot
+            # epoch wall time the headline-MFU device would take on the
+            # slot FLOPs (x3: fwd + bwd convention of the bench)
+            secs = slot * 3 / (headline_mfu * _peak_flops(dtype_name))
+            out[tgt_sort] = (headline_mfu * eff, true_frames / secs,
+                             {"frame_fill": round(f_real / f_slot, 4),
+                              "token_fill": round(t_real / t_slot, 4)})
+    return out
+
+
 def _train_matmul_flops(cfg, B, T, U, split=False):
     """Analytic forward matmul FLOPs of the s2t_emformer train step.
 
@@ -568,6 +631,21 @@ def main():
                       "value": round(train_ms, 3), "unit": "ms",
                       "vs_baseline": round(fps),
                       "mfu": None if mfu is None else round(mfu, 4)}))
+
+    if mfu is not None:
+        # whole-epoch effective MFU under the PRODUCTION batcher (measured
+        # fills on a MuST-C-shaped manifest; host-only, no device work)
+        bat = bench_batcher_eff(mfu)
+        (bm, bfps, bfill), (nm, nfps, nfill) = bat[True], bat[False]
+        extra["train_batcher_eff_mfu"] = round(bm, 4)
+        extra["train_batcher_eff_frames_per_sec"] = round(bfps)
+        extra["train_batcher_frame_fill"] = bfill["frame_fill"]
+        extra["train_batcher_token_fill"] = bfill["token_fill"]
+        extra["train_batcher_eff_mfu_no_tgt_sort"] = round(nm, 4)
+        extra["train_batcher_token_fill_no_tgt_sort"] = nfill["token_fill"]
+        print(json.dumps({"metric": "train_batcher_eff_mfu",
+                          "value": round(bm, 4), "unit": "mfu_epoch",
+                          "vs_baseline": round(bfps)}))
 
     dt = bench_read_write(dtype)
     print(json.dumps({

@@ -2,7 +2,7 @@
 
 docs/perf.md ("Sequence packing") found the residual of the padding gap is
 TARGET-side: sorting is by frames only, so each batch's targets spread
-~0.6U..U and pad to a max-based token bucket.  BatcherConfig.tgt_sort_block
+~0.6U..U and pad to a max-based token bucket.  BatcherConfig.tgt_sort
 re-sorts by target length inside N-item frame-sorted blocks (frames there
 are near-equal, so the frame fill cost is ~nil).  This probe runs the
 PRODUCTION make_batches on a MuST-C-shaped synthetic manifest (lognormal
@@ -24,33 +24,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from simulst_tpu.data import manifest as mf
 from simulst_tpu.data.dataset import BatcherConfig, SpeechDataset, make_batches
+from simulst_tpu.data.synthetic import mustc_like_rows as build_rows
 from simulst_tpu.data.vocab import Vocabulary
-
-
-def build_rows(n=3000, seed=0, tmpdir=None):
-    rng = np.random.RandomState(seed)
-    # MuST-C en-de-ish: durations lognormal around ~6 s, clipped 1..20 s
-    secs = np.clip(np.exp(rng.normal(1.7, 0.55, n)), 1.0, 20.0)
-    frames = (secs * 100).astype(int)
-    words = []
-    for s in secs:
-        n_chars = max(4, int(s * 17 * rng.uniform(0.75, 1.25)))
-        w, left = [], n_chars
-        while left > 0:
-            wl = int(rng.randint(2, 9))
-            w.append("".join(rng.choice(list("abcdefghij"), wl)))
-            left -= wl + 1
-        words.append(" ".join(w))
-    feats = {f"u{i}": np.zeros((int(frames[i]), 4), np.float32)
-             for i in range(n)}
-    zp = os.path.join(tmpdir, "f.zip")
-    specs = mf.create_feature_zip(feats, zp)
-    rows = [{"id": f"u{i}", "audio": specs[f"u{i}"],
-             "n_frames": str(int(frames[i])), "src_text": words[i],
-             "tgt_text": words[i], "speaker": "s"} for i in range(n)]
-    return rows
 
 
 def measure(rows, vocab, tgt_sort, frame_buckets,
@@ -81,7 +57,7 @@ def main():
         texts = [r["tgt_text"] for r in rows[:400]]
         vocab = Vocabulary.build(texts, vocab_size=1000)
         for fb, fb_name in (((256, 512, 768, 1024, 1536, 2048, 3072),
-                             "coarse(default)"),
+                             "coarse(r4)"),
                             (tuple(range(128, 3072 + 1, 128)), "fine(128)")):
             for blk in (False, True):
                 for tb, tb_name in (((16, 32, 48, 64, 96, 128), "tok16"),

@@ -23,10 +23,22 @@ class BatcherConfig:
     max_tokens: int = 40000          # frames per batch (fairseq --max-tokens)
     max_sentences: Optional[int] = None
     # every bucket's post-subsample length is a multiple of the Emformer
-    # segment (16), so the grouped-attention fast path always applies;
-    # 3072 covers the manifest filter's 3000-frame maximum
-    frame_buckets: Sequence[int] = (256, 512, 768, 1024, 1536, 2048, 3072)
-    token_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128)
+    # segment (16), so the grouped-attention fast path always applies
+    # (64 raw frames = segment 16 x stride 4 is therefore the finest legal
+    # step); 3072 covers the manifest filter's 3000-frame maximum.  The
+    # ladders are FINE by default — the measured padding lever (docs/
+    # perf.md, exp/probe_tgt_sort.py + bench_batcher_eff on a MuST-C-shaped
+    # manifest): step-64 frame buckets + step-8 token buckets + tgt_sort +
+    # batch-list shuffle + multiple-of-8 carry lift the whole-epoch
+    # useful/slot FLOP ratio from 0.80 (coarse ladder, block shuffle,
+    # zero-row padding) to 0.915, i.e. epoch-effective MFU 28.3 -> 32.5 %
+    # at the bench headline's device MFU.  Cost: more distinct
+    # (frame, token) shapes to compile — 36 realized over this manifest vs
+    # 31 at step 128, one jit each, amortized by the persistent compile
+    # cache; coarsen for quick runs where compile time dominates.
+    frame_buckets: Sequence[int] = tuple(range(64, 2048 + 1, 64)) + \
+        (2560, 3072)
+    token_buckets: Sequence[int] = tuple(range(8, 128 + 1, 8))
     cmvn: str = "utterance"          # "utterance" | "global" | "none"
     shuffle: bool = True
     seed: int = 1
@@ -37,9 +49,9 @@ class BatcherConfig:
     # batch's token bucket tight (targets otherwise spread ~0.6U..U per
     # batch because sorting is by frames only — the measured residual of
     # the padding gap, docs/perf.md "Sequence packing").  Measured on a
-    # MuST-C-shaped manifest (exp/probe_tgt_sort.py): token fill
-    # 0.60 -> 0.71, mean token bucket 68 -> 57, frame fill 0.72 -> 0.74
-    # (batch-boundary luck; the frame SLOTS per group are order-invariant).
+    # MuST-C-shaped manifest (exp/probe_tgt_sort.py, bench_batcher_eff):
+    # token fill 0.74 -> 0.82 under the production ladders; frame slots
+    # per group are order-invariant.
     tgt_sort: bool = True
 
 
@@ -119,25 +131,36 @@ def make_batches(dataset: SpeechDataset, cfg: Optional[BatcherConfig] = None,
         fbuck = np.asarray([_bucket(int(dataset.rows[i]["n_frames"]),
                                     cfg.frame_buckets) for i in order])
         order = order[np.lexsort((tlen, fbuck))]
-    if cfg.shuffle:
-        rng = np.random.RandomState(cfg.seed + epoch)
-        # shuffle within length-sorted blocks to keep buckets tight
-        block = 256
-        blocks = [order[i:i + block] for i in range(0, len(order), block)]
-        rng.shuffle(blocks)
-        order = np.concatenate(blocks) if blocks else order
-
-    batch, max_f = [], 0
+    # batches form on the FULLY SORTED order and the BATCH LIST is shuffled
+    # per epoch (fairseq's batch_by_size + epoch batch shuffle semantics):
+    # within-batch examples stay length-adjacent regardless of the epoch,
+    # unlike shuffling pre-batch blocks, whose boundaries mixed far-apart
+    # buckets into one batch (a measured ~1.5 MFU-point fill loss on a
+    # MuST-C-shaped manifest, exp/probe_tgt_sort.py)
+    batches, batch, max_f = [], [], 0
     for i in order:
         n = int(dataset.rows[i]["n_frames"])
         nf = max(max_f, n)
         if batch and (nf * (len(batch) + 1) > cfg.max_tokens or
                       (cfg.max_sentences and len(batch) >= cfg.max_sentences)):
-            yield _collate(dataset, batch, cfg)
-            batch, max_f = [], 0
+            # cut at a batch_multiple boundary, carrying the remainder into
+            # the next batch (fairseq's required_batch_size_multiple
+            # semantics) — zero-row padding was a measured 5.9 % of an
+            # epoch's frame slots; carried examples are length-adjacent so
+            # bucket inflation is ~nil
+            m = cfg.batch_multiple
+            keep = len(batch) % m if len(batch) > m else 0
+            batches.append(batch[:len(batch) - keep])
+            batch = batch[len(batch) - keep:]
+            max_f = max((int(dataset.rows[j]["n_frames"]) for j in batch),
+                        default=0)
         batch.append(i)
         max_f = max(max_f, n)
     if batch:
+        batches.append(batch)
+    if cfg.shuffle:
+        np.random.RandomState(cfg.seed + epoch).shuffle(batches)
+    for batch in batches:
         yield _collate(dataset, batch, cfg)
 
 
