@@ -100,6 +100,48 @@ def test_batcher_tgt_sort_tightens_token_buckets(tmp_path):
     assert f1 <= f0 * 1.05  # frame slots essentially unchanged
 
 
+def test_batcher_multiple_carry_and_batch_list_shuffle(tmp_path):
+    """Batches form on the fully sorted order with cuts on batch_multiple
+    boundaries (remainders carried forward), and epochs shuffle the BATCH
+    LIST: compositions are epoch-invariant, order is not, zero-row padding
+    appears only where a batch is smaller than the multiple."""
+    rng = np.random.RandomState(7)
+    n = 120
+    frames = rng.randint(40, 400, n)
+    feats = {f"u{i}": np.zeros((int(frames[i]), 4), np.float32)
+             for i in range(n)}
+    zp = str(tmp_path / "f.zip")
+    specs = mf.create_feature_zip(feats, zp)
+    texts = [" ".join(["ab"] * int(rng.randint(1, 10))) for _ in range(n)]
+    rows = [{"id": f"u{i}", "audio": specs[f"u{i}"],
+             "n_frames": str(int(frames[i])), "src_text": texts[i],
+             "tgt_text": texts[i], "speaker": "s"} for i in range(n)]
+    v = Vocabulary.build(texts, vocab_size=16)
+    m = 4
+    cfg = BatcherConfig(max_tokens=3000, cmvn="none", shuffle=True,
+                        frame_buckets=(64, 128, 256, 512),
+                        token_buckets=(8, 16, 32), batch_multiple=m)
+    ds = SpeechDataset(rows, v, cfg)
+
+    def epoch_batches(epoch):
+        return [tuple(b["ids"]) + (b["n_real"], b["feats"].shape[0])
+                for b in make_batches(ds, epoch=epoch)]
+
+    e0, e1 = epoch_batches(0), epoch_batches(1)
+    # same batch compositions, different order across epochs
+    assert sorted(e0) == sorted(e1) and e0 != e1
+    all_ids = [i for b in e0 for i in b[:-2]]
+    assert sorted(all_ids) == sorted(f"u{i}" for i in range(n))
+    # multiple-carry: any batch with more than m real rows is an exact
+    # multiple of m (so its padded size == its real size: no zero rows)
+    for b in e0:
+        n_real, padded = b[-2], b[-1]
+        if n_real > m:
+            assert n_real % m == 0 and padded == n_real, b
+        else:
+            assert padded == m
+
+
 def test_wer_and_bleu():
     refs = ["the cat sat on the mat", "hello world"]
     assert wer(refs, refs) == 0.0
