@@ -338,8 +338,15 @@ def main(argv=None):
 
     target_field = "src_text" if args.task == "asr" else "tgt_text"
     rows = load_tsv(os.path.join(args.data, f"{args.gen_subset}_st.tsv"))
+    # coarse ladders: offline decoding compiles one beam-search executable
+    # per realized (frame, token) bucket, so compile time — not padding
+    # fill — dominates a single eval pass (the fine training default would
+    # realize ~5x the shapes for no wall-clock win here)
     bcfg = BatcherConfig(max_tokens=args.max_tokens, shuffle=False,
-                         batch_multiple=1)
+                         batch_multiple=1,
+                         frame_buckets=(256, 512, 768, 1024, 1536, 2048,
+                                        3072),
+                         token_buckets=(16, 32, 48, 64, 96, 128))
     beam_cfg = BeamConfig(beam_size=args.beam, max_len=args.max_len,
                           len_penalty=args.len_penalty,
                           min_len=args.min_len, unk_penalty=args.unk_penalty)

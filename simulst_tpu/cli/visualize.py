@@ -51,9 +51,11 @@ def main(argv=None):
     model = model_cls(mcfg)
 
     rows = load_tsv(os.path.join(args.data, f"{args.subset}_st.tsv"))[: args.n]
-    ds = SpeechDataset(rows, vocab, BatcherConfig(shuffle=False,
-                                                  batch_multiple=1,
-                                                  max_sentences=1))
+    ds = SpeechDataset(rows, vocab, BatcherConfig(
+        shuffle=False, batch_multiple=1, max_sentences=1,
+        # coarse: one compile per realized bucket; a handful of utterances
+        frame_buckets=(256, 512, 768, 1024, 1536, 2048, 3072),
+        token_buckets=(16, 32, 48, 64, 96, 128)))
     os.makedirs(args.out, exist_ok=True)
     for batch in make_batches(ds):
         logits, extra = model.forward(
